@@ -8,8 +8,10 @@ TPU pod.
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: in some environments a site hook imports jax at interpreter startup
+# and pins the accelerator platform, so env-var-only selection is too late.
+# Setting XLA_FLAGS before the CPU client is instantiated and then forcing
+# jax_platforms=cpu reliably yields an 8-virtual-device CPU mesh.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
