@@ -1,0 +1,204 @@
+"""``stereod`` command-line interface.
+
+Replaces the reference's process entry + launch-file orchestration
+(SURVEY.md C1/C11: ``main.cpp``, ``hobot_stereonet_demo.launch.py``) with
+subcommands:
+
+  stereod infer  --left L.png --right R.png [--out out.png]   one pair
+  stereod stream --frames N [--fps 15]                        live emulation
+  stereod eval   --dataset synthetic|sceneflow|kitti [--root DIR]
+  stereod bench                                               headline bench
+  stereod train  --steps N [--checkpoint DIR]                 synthetic train
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+
+def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None):
+    from .config import CameraConfig, Config
+    from .runtime.engine import StereoEngine
+
+    cfg = Config()
+    if h is not None:
+        cfg = Config(
+            camera=CameraConfig(width=w, height=h),
+            model=cfg.model,
+            preprocess=cfg.preprocess,
+            mesh=cfg.mesh,
+            engine=cfg.engine,
+            slam=cfg.slam,
+        )
+    params = None
+    if getattr(args, "checkpoint", None):
+        from .models import FastStereoNet
+        from .runtime import checkpoint as ckpt
+
+        import jax
+        import jax.numpy as jnp
+
+        model = FastStereoNet(cfg.model)
+        dummy = jnp.zeros((1, cfg.camera.height, cfg.camera.width, 3), jnp.float32)
+        like = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
+        params = ckpt.load_params(args.checkpoint, like=like)
+    return StereoEngine(cfg, params=params)
+
+
+def cmd_infer(args) -> int:
+    import numpy as np
+
+    from .data.sceneflow import _read_image
+    from .ops import disparity as dp
+    from .viz import colormap as cm
+
+    left = _read_image(args.left)
+    right = _read_image(args.right)
+    h, w = left.shape[:2]
+    # Pad to stride multiple.
+    from .data.loader import pad_to_multiple
+
+    k = 16
+    lp, rp = pad_to_multiple(left, k), pad_to_multiple(right, k)
+    eng = _build_engine(args, h=lp.shape[0], w=lp.shape[1])
+    disp = eng.infer(lp, rp)[:h, :w]
+    print(
+        json.dumps(
+            {
+                "shape": list(disp.shape),
+                "disparity_px": {
+                    "min": float(disp.min()),
+                    "max": float(disp.max()),
+                    "mean": float(disp.mean()),
+                },
+            }
+        )
+    )
+    if args.out:
+        cm.save_png(args.out, cm.render_result(left, disp))
+        print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from .data.stream import SyntheticStreamSource
+
+    eng = _build_engine(args)
+    src = SyntheticStreamSource(
+        height=eng.cfg.camera.height,
+        width=eng.cfg.camera.width,
+        fps=args.fps,
+        num_frames=args.frames,
+        paced=not args.unpaced,
+    )
+    results = eng.run_stream(src)
+    snap = eng.metrics.snapshot()
+    if results and results[0].gt_disparity is not None:
+        import numpy as np
+
+        from .ops import disparity as dp
+
+        epes = [
+            float(dp.end_point_error(r.disparity, r.gt_disparity))
+            for r in results
+        ]
+        snap["epe_px"] = round(float(np.mean(epes)), 3)
+    print(json.dumps(snap))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .models import FastStereoNet
+    from .runtime.evaluate import evaluate_dataset
+
+    if args.dataset == "synthetic":
+        from .data.loader import SyntheticStereoDataset
+
+        ds = SyntheticStereoDataset(size=args.frames or 16, height=256, width=512)
+    elif args.dataset == "sceneflow":
+        from .data.sceneflow import SceneFlowDataset
+
+        ds = SceneFlowDataset(args.root)
+    elif args.dataset == "kitti":
+        from .data.kitti import Kitti2015Dataset
+
+        ds = Kitti2015Dataset(args.root)
+    else:
+        print(f"unknown dataset {args.dataset}", file=sys.stderr)
+        return 2
+
+    eng = _build_engine(args)
+    res = evaluate_dataset(
+        eng.model, eng.params, ds, eng.cfg, max_frames=args.frames or 0
+    )
+    print(json.dumps(res.to_dict()))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    runpy.run_path(bench, run_name="__main__")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from .runtime.train_loop import train_synthetic
+
+    metrics = train_synthetic(
+        steps=args.steps,
+        batch_size=args.batch,
+        checkpoint_dir=args.checkpoint,
+        log_every=args.log_every,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="stereod", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("infer", help="single stereo pair -> disparity")
+    pi.add_argument("--left", required=True)
+    pi.add_argument("--right", required=True)
+    pi.add_argument("--out", default=None, help="composite PNG path")
+    pi.add_argument("--checkpoint", default=None)
+    pi.set_defaults(fn=cmd_infer)
+
+    ps = sub.add_parser("stream", help="live-stream emulation")
+    ps.add_argument("--frames", type=int, default=30)
+    ps.add_argument("--fps", type=float, default=15.0)
+    ps.add_argument("--unpaced", action="store_true")
+    ps.add_argument("--checkpoint", default=None)
+    ps.set_defaults(fn=cmd_stream)
+
+    pe = sub.add_parser("eval", help="dataset EPE/D1 evaluation")
+    pe.add_argument("--dataset", default="synthetic",
+                    choices=["synthetic", "sceneflow", "kitti"])
+    pe.add_argument("--root", default=None)
+    pe.add_argument("--frames", type=int, default=0)
+    pe.add_argument("--checkpoint", default=None)
+    pe.set_defaults(fn=cmd_eval)
+
+    pb = sub.add_parser("bench", help="headline throughput bench")
+    pb.set_defaults(fn=cmd_bench)
+
+    pt = sub.add_parser("train", help="train on synthetic data")
+    pt.add_argument("--steps", type=int, default=100)
+    pt.add_argument("--batch", type=int, default=4)
+    pt.add_argument("--checkpoint", default=None)
+    pt.add_argument("--log-every", type=int, default=20)
+    pt.set_defaults(fn=cmd_train)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,1 @@
+from . import kitti, loader, sceneflow, stream, synthetic

@@ -1,0 +1,115 @@
+"""Batching, cropping, and augmentation for stereo training/eval.
+
+Static-shape discipline: every batch leaving this module has one fixed
+(H, W) so jit compiles exactly once (XLA recompiles per shape — the TPU
+analog of the reference's fixed 1280x720 contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def pad_to_multiple(img: np.ndarray, multiple: int, value: float = 0.0) -> np.ndarray:
+    """Bottom/right pad H, W to a multiple (network needs H,W % 2^K == 0)."""
+    h, w = img.shape[:2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph == 0 and pw == 0:
+        return img
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, pad, constant_values=value)
+
+
+def random_crop(
+    rng: np.random.Generator,
+    left: np.ndarray,
+    right: np.ndarray,
+    disp: np.ndarray,
+    crop_hw: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ch, cw = crop_hw
+    h, w = left.shape[:2]
+    if h < ch or w < cw:
+        left = pad_to_multiple(left, 1)  # no-op guard; explicit pad below
+        ph, pw = max(ch - h, 0), max(cw - w, 0)
+        left = np.pad(left, [(0, ph), (0, pw), (0, 0)])
+        right = np.pad(right, [(0, ph), (0, pw), (0, 0)])
+        disp = np.pad(disp, [(0, ph), (0, pw)])
+        h, w = left.shape[:2]
+    y = int(rng.integers(0, h - ch + 1))
+    x = int(rng.integers(0, w - cw + 1))
+    return (
+        left[y : y + ch, x : x + cw],
+        right[y : y + ch, x : x + cw],
+        disp[y : y + ch, x : x + cw],
+    )
+
+
+def color_jitter(rng: np.random.Generator, img: np.ndarray,
+                 brightness: float = 0.2, contrast: float = 0.2) -> np.ndarray:
+    """Asymmetric photometric augmentation (applied per eye — robustifies
+    matching against exposure differences between real cameras)."""
+    f = img.astype(np.float32)
+    f = f * (1 + rng.uniform(-contrast, contrast)) + rng.uniform(
+        -brightness, brightness
+    ) * 255.0
+    return np.clip(f, 0, 255).astype(np.uint8)
+
+
+@dataclass
+class BatchIterator:
+    """Iterates (left u8 [B,h,w,3], right u8, disp f32 [B,h,w]) batches from
+    an indexable dataset of StereoSample, with random crop + jitter."""
+
+    dataset: Sequence
+    batch_size: int
+    crop_hw: Tuple[int, int] = (256, 512)
+    seed: int = 0
+    augment: bool = True
+    shuffle: bool = True
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        rng = np.random.default_rng(self.seed)
+        order = np.arange(len(self.dataset))
+        while True:
+            if self.shuffle:
+                rng.shuffle(order)
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                ls, rs, ds = [], [], []
+                for i in order[start : start + self.batch_size]:
+                    s = self.dataset[int(i)]
+                    l, r, d = random_crop(rng, s.left, s.right, s.disparity, self.crop_hw)
+                    if self.augment:
+                        l = color_jitter(rng, l)
+                        r = color_jitter(rng, r)
+                    ls.append(l)
+                    rs.append(r)
+                    ds.append(d)
+                yield np.stack(ls), np.stack(rs), np.stack(ds)
+
+
+class SyntheticStereoDataset:
+    """Adapter: procedural generator -> indexable dataset (deterministic per
+    index, so eval sets are reproducible)."""
+
+    def __init__(self, size: int = 1000, seed: int = 0, **cfg_kwargs):
+        from .synthetic import SyntheticConfig, generate_pair
+
+        self._gen = generate_pair
+        self._cfg = SyntheticConfig(**cfg_kwargs)
+        self._seed = seed
+        self._size = size
+
+    def __len__(self) -> int:
+        return self._size
+
+    def __getitem__(self, i: int):
+        from .sceneflow import StereoSample
+
+        rng = np.random.default_rng(self._seed * 1_000_003 + i)
+        l, r, d = self._gen(rng, self._cfg)
+        return StereoSample(l, r, d, name=f"synthetic/{i}")

@@ -1,0 +1,105 @@
+"""Live-stream sources: ZED-style side-by-side NV12 frame emulation.
+
+The reference consumes ``hbm_img_msgs::HbmMsg1080P`` NV12 frames (2560x720
+side-by-side) from the camera node over zero-copy shared memory
+(``stereonet_node.cpp:657-818``).  There is no ROS here; a stream source is
+just an iterator of (timestamp, flat NV12 uint8 buffer) honoring a target
+fps.  Sources:
+
+  * :class:`SyntheticStreamSource` — procedural scenes (with GT kept
+    available for accuracy-over-stream tests)
+  * :class:`ImageListStreamSource` — replay of image-file pairs, the analog
+    of the reference's ``RunImglistFeedInfer`` feedback harness
+    (``stereonet_node.cpp:820-976``, 300 ms pacing at ``:974``)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops import colorspace as cs
+
+
+@dataclass
+class Frame:
+    timestamp: float
+    sbs_nv12: np.ndarray  # flat uint8, side-by-side NV12
+    height: int
+    full_width: int
+    gt_disparity: Optional[np.ndarray] = None  # [H, W] when known
+    index: int = 0
+
+
+def rgb_pair_to_sbs_nv12(left_rgb: np.ndarray, right_rgb: np.ndarray) -> np.ndarray:
+    """Two [H,W,3] RGB uint8 images -> one flat side-by-side NV12 buffer
+    (the camera wire format)."""
+    import jax.numpy as jnp
+
+    sbs_rgb = np.concatenate([left_rgb, right_rgb], axis=1)
+    bgr = sbs_rgb[..., ::-1]
+    return np.asarray(cs.bgr_to_nv12(jnp.asarray(bgr)))
+
+
+class SyntheticStreamSource:
+    """Yields paced side-by-side NV12 frames from the procedural generator."""
+
+    def __init__(self, height: int = 720, width: int = 1280, fps: float = 15.0,
+                 num_frames: int = 0, seed: int = 0, paced: bool = True):
+        from .synthetic import SyntheticConfig, generate_pair
+
+        self._cfg = SyntheticConfig(height=height, width=width)
+        self._gen = generate_pair
+        self.height, self.width = height, width
+        self.fps = fps
+        self.num_frames = num_frames  # 0 = infinite
+        self.seed = seed
+        self.paced = paced
+
+    def __iter__(self) -> Iterator[Frame]:
+        period = 1.0 / self.fps if self.fps > 0 else 0.0
+        i = 0
+        next_t = time.monotonic()
+        while self.num_frames == 0 or i < self.num_frames:
+            rng = np.random.default_rng(self.seed * 7_000_003 + i)
+            l, r, d = self._gen(rng, self._cfg)
+            buf = rgb_pair_to_sbs_nv12(l, r)
+            if self.paced:
+                now = time.monotonic()
+                if now < next_t:
+                    time.sleep(next_t - now)
+                next_t += period
+            yield Frame(time.monotonic(), buf, self.height, 2 * self.width, d, i)
+            i += 1
+
+
+class ImageListStreamSource:
+    """Replay of (left, right) image-file pairs at a fixed pace — the
+    reference's image-list feedback mode, minus the 300 ms hard-coding."""
+
+    def __init__(self, left_paths: List[str], right_paths: List[str],
+                 fps: float = 3.33, paced: bool = True):
+        if len(left_paths) != len(right_paths):
+            raise ValueError("left/right list length mismatch")
+        self.left_paths = left_paths
+        self.right_paths = right_paths
+        self.fps = fps
+        self.paced = paced
+
+    def __iter__(self) -> Iterator[Frame]:
+        from .sceneflow import _read_image
+
+        period = 1.0 / self.fps if self.fps > 0 else 0.0
+        next_t = time.monotonic()
+        for i, (lp, rp) in enumerate(zip(self.left_paths, self.right_paths)):
+            l, r = _read_image(lp), _read_image(rp)
+            buf = rgb_pair_to_sbs_nv12(l, r)
+            if self.paced:
+                now = time.monotonic()
+                if now < next_t:
+                    time.sleep(next_t - now)
+                next_t += period
+            yield Frame(time.monotonic(), buf, l.shape[0], 2 * l.shape[1], None, i)

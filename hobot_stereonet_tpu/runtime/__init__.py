@@ -1,0 +1,1 @@
+from . import checkpoint, engine, evaluate, metrics, training

@@ -1,0 +1,99 @@
+"""Dataset evaluation harness: EPE / D1-all / throughput over a dataset.
+
+Formalizes the reference's manual golden-replay validation (SURVEY.md §4 —
+feedback modes + dump files diffed by hand) into an automatic metric run
+(BASELINE.json configs 1-2: SceneFlow EPE, KITTI D1-all).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..config import Config
+from ..data.loader import pad_to_multiple
+from ..ops import disparity as dp
+
+
+@dataclass
+class EvalResult:
+    epe: float
+    d1_all: float
+    n_frames: int
+    fps: float
+    per_frame_epe: list = field(default_factory=list)
+
+    def to_dict(self) -> Dict:
+        return {
+            "epe_px": round(self.epe, 4),
+            "d1_all": round(self.d1_all, 4),
+            "n_frames": self.n_frames,
+            "fps": round(self.fps, 2),
+        }
+
+
+def evaluate_dataset(
+    model,
+    params,
+    dataset: Sequence,
+    cfg: Config = Config(),
+    max_frames: int = 0,
+    batch_compile_hw: Optional[tuple] = None,
+) -> EvalResult:
+    """Run the model over an indexable dataset of StereoSample; returns
+    aggregate EPE/D1.  Pads each frame to the network's stride multiple and
+    crops the prediction back (static-shape discipline: all frames padded
+    to the max size so jit compiles once)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import preprocess as pp
+
+    k = cfg.model.cost_resolution_divisor * 2  # stride multiple incl. refinement
+    n = len(dataset) if max_frames == 0 else min(max_frames, len(dataset))
+
+    # One compile: pad every sample to the dataset max (or given) size.
+    if batch_compile_hw is None:
+        h = max(dataset[i].left.shape[0] for i in range(n))
+        w = max(dataset[i].left.shape[1] for i in range(n))
+        batch_compile_hw = (-(-h // k) * k, -(-w // k) * k)
+    H, W = batch_compile_hw
+
+    @jax.jit
+    def fwd(params, left, right):
+        x = pp.rgb_pair_to_model_input(left, right, cfg.preprocess)
+        l, r = pp.split_model_input(x)
+        return model.apply(params, l, r)["disparity"][0]
+
+    epes, d1s, weights = [], [], []
+    t0 = time.perf_counter()
+    for i in range(n):
+        s = dataset[i]
+        h0, w0 = s.left.shape[:2]
+        l = pad_to_multiple(s.left, 1)
+        l = np.pad(s.left, [(0, H - h0), (0, W - w0), (0, 0)])
+        r = np.pad(s.right, [(0, H - h0), (0, W - w0), (0, 0)])
+        pred = np.asarray(fwd(params, jnp.asarray(l), jnp.asarray(r)))[:h0, :w0]
+
+        gt = s.disparity
+        valid = (gt > 0) & (gt < cfg.model.max_disparity)
+        nv = valid.sum()
+        if nv == 0:
+            continue
+        epes.append(float(dp.end_point_error(pred, gt, valid)))
+        d1s.append(float(dp.d1_all(pred, gt, valid)))
+        weights.append(float(nv))
+    dt = time.perf_counter() - t0
+
+    weights = np.asarray(weights)
+    wsum = weights.sum() if len(weights) else 1.0
+    return EvalResult(
+        epe=float(np.average(epes, weights=weights)) if epes else float("nan"),
+        d1_all=float(np.average(d1s, weights=weights)) if d1s else float("nan"),
+        n_frames=n,
+        fps=n / dt if dt > 0 else 0.0,
+        per_frame_epe=epes,
+    )

@@ -1,0 +1,107 @@
+"""Structured runtime metrics.
+
+Replaces the reference's ``rt_stat`` fps/latency log line
+(``stereonet_node.cpp:1071-1085``: input fps, output fps, preprocess ms,
+infer ms) with a thread-safe counter set that renders to one structured
+dict/JSON — consumable by logs, the CLI, and tests.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections import deque
+from typing import Dict, Optional
+
+
+class RateCounter:
+    """Sliding-window event rate (events/sec over the last ``window`` s)."""
+
+    def __init__(self, window: float = 5.0):
+        self.window = window
+        self._events: deque = deque()
+        self._lock = threading.Lock()
+        self.total = 0
+
+    def tick(self, n: int = 1) -> None:
+        now = time.monotonic()
+        with self._lock:
+            for _ in range(n):
+                self._events.append(now)
+            self.total += n
+            self._trim(now)
+
+    def rate(self) -> float:
+        now = time.monotonic()
+        with self._lock:
+            self._trim(now)
+            if not self._events:
+                return 0.0
+            span = max(now - self._events[0], 1e-9)
+            return len(self._events) / span
+
+    def _trim(self, now: float) -> None:
+        cutoff = now - self.window
+        while self._events and self._events[0] < cutoff:
+            self._events.popleft()
+
+
+class LatencyStat:
+    """Running mean/min/max over the last N samples (milliseconds)."""
+
+    def __init__(self, capacity: int = 100):
+        self._samples: deque = deque(maxlen=capacity)
+        self._lock = threading.Lock()
+
+    def record(self, seconds: float) -> None:
+        with self._lock:
+            self._samples.append(seconds * 1e3)
+
+    def summary(self) -> Dict[str, float]:
+        with self._lock:
+            if not self._samples:
+                return {"mean_ms": 0.0, "min_ms": 0.0, "max_ms": 0.0, "n": 0}
+            s = list(self._samples)
+        return {
+            "mean_ms": sum(s) / len(s),
+            "min_ms": min(s),
+            "max_ms": max(s),
+            "n": len(s),
+        }
+
+
+class EngineMetrics:
+    """The full counter set for the streaming engine."""
+
+    def __init__(self):
+        self.input_fps = RateCounter()
+        self.output_fps = RateCounter()
+        self.dropped = 0
+        self.invalid = 0
+        self.e2e_latency = LatencyStat()
+        self.infer_latency = LatencyStat()
+        self._lock = threading.Lock()
+
+    def drop(self) -> None:
+        with self._lock:
+            self.dropped += 1
+
+    def reject(self) -> None:
+        with self._lock:
+            self.invalid += 1
+
+    def snapshot(self) -> Dict:
+        return {
+            "input_fps": round(self.input_fps.rate(), 2),
+            "output_fps": round(self.output_fps.rate(), 2),
+            "frames_in": self.input_fps.total,
+            "frames_out": self.output_fps.total,
+            "dropped": self.dropped,
+            "invalid": self.invalid,
+            "e2e_latency": self.e2e_latency.summary(),
+            "infer_latency": self.infer_latency.summary(),
+        }
+
+    def json(self) -> str:
+        return json.dumps(self.snapshot())

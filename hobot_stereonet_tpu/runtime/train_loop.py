@@ -1,0 +1,85 @@
+"""End-to-end training loop on the synthetic dataset.
+
+The trainable path in this environment (no SceneFlow download; zero
+egress): procedural scenes with exact GT (data/synthetic.py).  The same
+loop accepts any BatchIterator-compatible source, so a SceneFlow root can
+be swapped in unchanged where the dataset exists.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def train_synthetic(
+    steps: int = 100,
+    batch_size: int = 4,
+    crop_hw=(128, 256),
+    checkpoint_dir: Optional[str] = None,
+    log_every: int = 20,
+    lr: float = 1e-3,
+    seed: int = 0,
+    model=None,
+    dataset=None,
+    eval_every: int = 0,
+) -> Dict:
+    """Train FastStereoNet on procedural scenes; returns final metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import StereoNetConfig
+    from ..data.loader import BatchIterator, SyntheticStereoDataset
+    from ..models import FastStereoNet
+    from . import checkpoint as ckpt
+    from . import training
+
+    cfg = StereoNetConfig()
+    if model is None:
+        model = FastStereoNet(cfg)
+    if dataset is None:
+        dataset = SyntheticStereoDataset(
+            size=512, seed=seed, height=crop_hw[0] * 2, width=crop_hw[1] * 2
+        )
+    it = iter(
+        BatchIterator(dataset, batch_size=batch_size, crop_hw=crop_hw, seed=seed)
+    )
+
+    optimizer = training.make_optimizer(lr=lr, warmup_steps=min(100, steps // 10 + 1),
+                                        total_steps=max(steps, 2))
+    l0, r0, _ = next(it)
+    sample = jnp.asarray(l0[:1], jnp.float32)
+    state = training.create_train_state(
+        model, jax.random.PRNGKey(seed), optimizer, sample, sample
+    )
+    step_fn = jax.jit(training.make_train_step(model, optimizer,
+                                               max_disparity=cfg.max_disparity))
+
+    def to_input(x):
+        return (jnp.asarray(x, jnp.float32) - 128.0) / 128.0
+
+    history = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        l, r, d = next(it)
+        state, metrics = step_fn(state, to_input(l), to_input(r), jnp.asarray(d))
+        if log_every and (i + 1) % log_every == 0:
+            loss = float(metrics["loss"])
+            epe = float(metrics["epe"])
+            history.append({"step": i + 1, "loss": loss, "epe": epe})
+            print(f"step {i+1}/{steps} loss={loss:.4f} epe={epe:.3f}px", flush=True)
+    dt = time.perf_counter() - t0
+
+    if checkpoint_dir:
+        ckpt.save_train_state(checkpoint_dir, state)
+
+    final = {
+        "steps": steps,
+        "final_loss": float(metrics["loss"]),
+        "final_epe": float(metrics["epe"]),
+        "steps_per_sec": round(steps / dt, 3),
+        "history": history,
+    }
+    return final

@@ -1,0 +1,145 @@
+"""Eval harness, checkpointing, viz, and CLI tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_evaluate_dataset_perfect_model(rng):
+    """A fake model that returns the GT must score EPE=0, D1=0."""
+    import jax.numpy as jnp
+
+    from hobot_stereonet_tpu.config import Config
+    from hobot_stereonet_tpu.data.sceneflow import StereoSample
+    from hobot_stereonet_tpu.runtime.evaluate import evaluate_dataset
+
+    gt = rng.uniform(1, 30, size=(32, 64)).astype(np.float32)
+    ds = [
+        StereoSample(
+            left=rng.integers(0, 255, (32, 64, 3), dtype=np.uint8),
+            right=rng.integers(0, 255, (32, 64, 3), dtype=np.uint8),
+            disparity=gt,
+        )
+    ]
+
+    gt_dev = jnp.asarray(gt)
+
+    class Oracle:
+        def apply(self, params, l, r):
+            b, h, w = l.shape[0], l.shape[1], l.shape[2]
+            d = jnp.zeros((b, h, w)) + jnp.pad(
+                gt_dev, ((0, h - 32), (0, w - 64))
+            )
+            return {"disparity": d}
+
+    res = evaluate_dataset(Oracle(), {}, ds, Config())
+    assert res.epe < 1e-5
+    assert res.d1_all == 0.0
+    assert res.n_frames == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from hobot_stereonet_tpu.runtime import checkpoint as ckpt
+
+    params = {
+        "dense": {"w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+                  "b": jnp.ones((4,))},
+    }
+    path = str(tmp_path / "ckpt")
+    ckpt.save_params(path, params)
+    back = ckpt.load_params(path, like=params)
+    np.testing.assert_array_equal(np.asarray(back["dense"]["w"]),
+                                  np.asarray(params["dense"]["w"]))
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from hobot_stereonet_tpu.models import FastStereoNet
+    from hobot_stereonet_tpu.runtime import checkpoint as ckpt
+    from hobot_stereonet_tpu.runtime import training
+    from tests.test_model import SMALL
+
+    model = FastStereoNet(SMALL)
+    opt = training.make_optimizer()
+    x = jnp.zeros((1, 16, 32, 3))
+    state = training.create_train_state(model, jax.random.PRNGKey(0), opt, x, x)
+    path = str(tmp_path / "ts")
+    ckpt.save_train_state(path, state)
+    back = ckpt.load_train_state(path, like=state)
+    assert int(back.step) == int(state.step)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(back.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_viz_colormap(rng):
+    from hobot_stereonet_tpu.viz import colormap as cm
+
+    disp = rng.uniform(0, 28, size=(16, 24)).astype(np.float32)
+    rgb = cm.colorize_disparity(disp)
+    assert rgb.shape == (16, 24, 3) and rgb.dtype == np.uint8
+    # Low values -> blue dominant; high -> red dominant (JET ends).
+    lo = cm.jet_colormap(np.zeros((1, 1), np.uint8))
+    hi = cm.jet_colormap(np.full((1, 1), 255, np.uint8))
+    assert lo[0, 0, 2] > lo[0, 0, 0]  # blue end
+    assert hi[0, 0, 0] > hi[0, 0, 2]  # red end
+
+    left = rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+    comp = cm.render_result(left, disp)
+    assert comp.shape == (32, 24, 3)
+
+
+def test_viz_save_png(tmp_path, rng):
+    from hobot_stereonet_tpu.viz import colormap as cm
+
+    rgb = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    cm.save_png(p, rgb)
+    from PIL import Image
+
+    back = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(back, rgb)
+
+
+def test_cli_eval_synthetic(capsys):
+    from hobot_stereonet_tpu.cli import main
+
+    rc = main(["eval", "--dataset", "synthetic", "--frames", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "epe_px" in out and out["n_frames"] == 1
+
+
+def test_cli_infer_roundtrip(tmp_path, capsys, rng):
+    from PIL import Image
+
+    from hobot_stereonet_tpu.cli import main
+
+    l = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    r = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    Image.fromarray(l).save(lp)
+    Image.fromarray(r).save(rp)
+    out_png = str(tmp_path / "out.png")
+    rc = main(["infer", "--left", lp, "--right", rp, "--out", out_png])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["shape"] == [64, 96]
+    assert os.path.exists(out_png)
+
+
+def test_cli_train_tiny(capsys):
+    from hobot_stereonet_tpu.cli import main
+
+    rc = main(["train", "--steps", "2", "--batch", "1", "--log-every", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(out)
+    assert rep["steps"] == 2 and np.isfinite(rep["final_loss"])
