@@ -88,6 +88,19 @@ class StereoNetConfig:
     hierarchical_refinement: bool = True
     num_refinement_res_blocks: int = 6
     refinement_channels: int = 32
+    # Per-scale overrides for the hierarchical refinement (coarse -> fine).
+    # Finer scales get slimmer nets: full-res refinement dominates total
+    # FLOPs (H*W*C^2), and edges need fewer channels than semantics.
+    # None => (refinement_channels, num_refinement_res_blocks) at all scales.
+    refinement_scale_channels: Optional[Tuple[int, ...]] = (32, 16, 12)
+    refinement_scale_blocks: Optional[Tuple[int, ...]] = (6, 4, 3)
+    # Full-resolution strategy for FastStereoNet: "convex" = learned KxK
+    # convex-combination upsampling (all heavy compute stays at 1/K res with
+    # MXU-friendly channel widths; ~0.3 ms/frame at 720p), "refine" =
+    # classic hierarchical refinement convs (the StereoNet-paper path, used
+    # by the parity model).  Measured on v5e: full-res convs cost ~1.3 ms
+    # each regardless of channel width <=64, so "refine" costs ~16 ms more.
+    upsample_mode: str = "convex"
     # Compute dtype for the network (params stay float32).
     compute_dtype: Any = jnp.bfloat16
     # Input channels: 6 = stacked L/R in a single tensor is the reference's

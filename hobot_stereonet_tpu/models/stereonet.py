@@ -31,6 +31,7 @@ from flax import linen as nn
 from ..config import StereoNetConfig
 from ..ops.cost_volume import build_cost_volume
 from ..ops.soft_argmin import soft_argmin, disparity_confidence
+from ..ops.upsample import downsample_avg, upsample2x_bilinear
 from .layers import ConvBlock, ConvBlock3D, ResBlock2D, _num_groups
 
 
@@ -78,15 +79,18 @@ class RefinementNet(nn.Module):
     """
 
     cfg: StereoNetConfig
+    channels: int = 0  # 0 => cfg.refinement_channels
+    blocks: int = 0  # 0 => cfg.num_refinement_res_blocks
 
     @nn.compact
     def __call__(self, disparity, guide):
         dt = self.cfg.compute_dtype
-        c = self.cfg.refinement_channels
+        c = self.channels or self.cfg.refinement_channels
+        nb = self.blocks or self.cfg.num_refinement_res_blocks
         x = jnp.concatenate([disparity.astype(dt), guide.astype(dt)], axis=-1)
         x = ConvBlock(c, dtype=dt)(x)
         dilations = [1, 2, 4, 8, 1, 1]
-        for i in range(self.cfg.num_refinement_res_blocks):
+        for i in range(nb):
             x = ResBlock2D(c, dilation=dilations[i % len(dilations)], dtype=dt)(x)
         delta = nn.Conv(1, (3, 3), padding="SAME", dtype=dt, param_dtype=jnp.float32)(x)
         refined = disparity + delta.astype(jnp.float32)
@@ -95,6 +99,17 @@ class RefinementNet(nn.Module):
 
 def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jax.image.resize(x, (x.shape[0], h, w) + x.shape[3:], method="bilinear")
+
+
+def _refine_size(cfg: StereoNetConfig, stage: int):
+    """(channels, blocks) for refinement stage ``stage`` (coarse -> fine)."""
+    rc = cfg.refinement_channels
+    rb = cfg.num_refinement_res_blocks
+    if cfg.refinement_scale_channels:
+        rc = cfg.refinement_scale_channels[min(stage, len(cfg.refinement_scale_channels) - 1)]
+    if cfg.refinement_scale_blocks:
+        rb = cfg.refinement_scale_blocks[min(stage, len(cfg.refinement_scale_blocks) - 1)]
+    return rc, rb
 
 
 class StereoNet(nn.Module):
@@ -138,13 +153,17 @@ class StereoNet(nn.Module):
             if cfg.hierarchical_refinement
             else [1]
         )
-        for s in scales:
+        for i, s in enumerate(scales):
             th, tw = h // s, w // s
             # Disparity values are already in full-res px units (scaled by k
-            # above), so upsampling interpolates positions only.
-            disp = _resize_bilinear(disp, th, tw)
-            guide = left if s == 1 else _resize_bilinear(left, th, tw)
-            disp = RefinementNet(cfg)(disp, guide)
+            # above), so upsampling interpolates positions only.  Fixed 2x
+            # stencil upsample / avg-pool downsample instead of
+            # jax.image.resize (which costs a full conv's time at 720p).
+            while disp.shape[1] < th:
+                disp = upsample2x_bilinear(disp)
+            guide = left if s == 1 else downsample_avg(left, s)
+            rc, rb = _refine_size(cfg, i)
+            disp = RefinementNet(cfg, channels=rc, blocks=rb)(disp, guide)
             pyramid.append(disp[..., 0])
 
         return {
