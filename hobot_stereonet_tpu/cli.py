@@ -147,6 +147,53 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_slam(args) -> int:
+    """Stereo VO on a synthetic trajectory: network disparity (or GT with
+    --gt-disparity) -> tracker -> windowed BA -> ATE."""
+    import numpy as np
+
+    from .config import CameraConfig, SLAMConfig
+    from .data.synthetic import LayeredScene
+    from .slam.tracker import StereoSLAM, absolute_trajectory_error
+
+    cam = CameraConfig(width=args.width, height=args.height)
+    rng = np.random.default_rng(args.seed)
+    scene = LayeredScene(rng, cam.height, cam.width, cam.focal_px, cam.baseline_m)
+    slam = StereoSLAM(cam, SLAMConfig(keyframe_translation_m=0.08))
+
+    eng = None
+    if not args.gt_disparity:
+        eng = _build_engine(args, h=cam.height, w=cam.width)
+
+    ts = np.linspace(0, 1, args.frames)
+    gt_centers = np.stack(
+        [0.6 * ts, 0.12 * np.sin(2 * np.pi * ts), np.zeros_like(ts)], axis=-1
+    )
+    tracked = 0
+    for tx, ty, _ in gt_centers:
+        l, r, d = scene.render(float(tx), float(ty))
+        if eng is not None:
+            d = eng.infer(l, r)
+        out = slam.process(l, d)
+        tracked += int(out["tracked"])
+    slam.refine_window(window=4)
+
+    est = np.stack(slam.state.trajectory)
+    ate = absolute_trajectory_error(est, gt_centers)
+    print(
+        json.dumps(
+            {
+                "ate_m": round(ate, 4),
+                "frames": args.frames,
+                "tracked": tracked,
+                "keyframes": len(slam.state.keyframes),
+                "disparity_source": "gt" if args.gt_disparity else "network",
+            }
+        )
+    )
+    return 0
+
+
 def cmd_train(args) -> int:
     from .runtime.train_loop import train_synthetic
 
@@ -188,6 +235,16 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="headline throughput bench")
     pb.set_defaults(fn=cmd_bench)
+
+    pv = sub.add_parser("slam", help="stereo VO on a synthetic trajectory")
+    pv.add_argument("--frames", type=int, default=12)
+    pv.add_argument("--width", type=int, default=320)
+    pv.add_argument("--height", type=int, default=240)
+    pv.add_argument("--seed", type=int, default=11)
+    pv.add_argument("--gt-disparity", action="store_true",
+                    help="use ground-truth disparity instead of the network")
+    pv.add_argument("--checkpoint", default=None)
+    pv.set_defaults(fn=cmd_slam)
 
     pt = sub.add_parser("train", help="train on synthetic data")
     pt.add_argument("--steps", type=int, default=100)

@@ -123,3 +123,103 @@ def generate_batch(rng: np.random.Generator, batch: int,
         rs.append(r)
         ds.append(d)
     return np.stack(ls), np.stack(rs), np.stack(ds)
+
+
+class LayeredScene:
+    """A fixed layered 3D scene renderable from a translating camera — the
+    ground-truth world for visual-odometry tests.
+
+    Layers are fronto-parallel textured planes at metric depths Z_i.  For a
+    camera translated by (tx, ty) meters (no rotation), layer i's image
+    shifts by (-f*tx/Z_i, -f*ty/Z_i) px; the right eye adds the stereo
+    baseline.  Rendering composites back to front, giving exact GT
+    disparity and exact GT poses for ATE evaluation.
+    """
+
+    def __init__(self, rng: np.random.Generator, height: int, width: int,
+                 focal_px: float, baseline_m: float,
+                 depths_m: Tuple[float, ...] = (12.0, 7.0, 4.5, 3.0),
+                 texture_scales: Tuple[int, ...] = (4, 8, 16, 32)):
+        self.h, self.w = height, width
+        self.f = focal_px
+        self.baseline_m = baseline_m
+        self.depths = sorted(depths_m, reverse=True)  # far -> near
+        pad = 256  # margin for camera motion
+        self.pad = pad
+        self.layers = []
+        for li, z in enumerate(self.depths):
+            if li == 0:
+                tex = _texture(rng, height + 2 * pad, width + 2 * pad, texture_scales)
+                tex += rng.uniform(-12, 12, tex.shape)  # per-pixel detail
+                mask = np.ones(tex.shape[:2], bool)
+            else:
+                tex = np.zeros((height + 2 * pad, width + 2 * pad, 3), np.float32)
+                mask = np.zeros(tex.shape[:2], bool)
+                for _ in range(3):
+                    lh = int(rng.integers(height // 6, height // 2))
+                    lw = int(rng.integers(width // 6, width // 2))
+                    y0 = int(rng.integers(pad // 2, height + pad))
+                    x0 = int(rng.integers(pad // 2, width + pad))
+                    patch = _texture(rng, lh, lw, texture_scales)
+                    patch += rng.uniform(-12, 12, patch.shape)
+                    tex[y0 : y0 + lh, x0 : x0 + lw] = patch
+                    mask[y0 : y0 + lh, x0 : x0 + lw] = True
+            self.layers.append((z, tex, mask))
+
+    def render(self, tx_m: float = 0.0, ty_m: float = 0.0):
+        """Returns (left u8 [H,W,3], right u8, disparity f32 [H,W]) for a
+        camera at (tx, ty, 0) with identity rotation."""
+        h, w, pad = self.h, self.w, self.pad
+        left = np.zeros((h, w, 3), np.float32)
+        right = np.zeros((h, w, 3), np.float32)
+        disp = np.zeros((h, w), np.float32)
+        for z, tex, mask in self.layers:
+            d_px = self.f * self.baseline_m / z
+            ox = self.f * tx_m / z
+            oy = self.f * ty_m / z
+            lx, ly = pad + ox, pad + oy
+            tl, ml = _bilinear_crop(tex, mask, ly, lx, h, w)
+            tr, mr = _bilinear_crop(tex, mask, ly, lx + d_px, h, w)
+            left = np.where(ml[..., None], tl, left)
+            right = np.where(mr[..., None], tr, right)
+            disp = np.where(ml, d_px, disp)
+        return (
+            np.clip(left, 0, 255).astype(np.uint8),
+            np.clip(right, 0, 255).astype(np.uint8),
+            disp,
+        )
+
+    def gt_center(self, tx_m: float, ty_m: float) -> np.ndarray:
+        return np.array([tx_m, ty_m, 0.0], np.float32)
+
+
+def _bilinear_crop(tex: np.ndarray, mask: np.ndarray, y0: float, x0: float,
+                   h: int, w: int):
+    """Sample tex[y0:y0+h, x0:x0+w] with bilinear interpolation; mask is
+    AND-ed over the 4 corners (conservative)."""
+    yi = np.arange(h, dtype=np.float64) + y0
+    xi = np.arange(w, dtype=np.float64) + x0
+    yf = np.floor(yi).astype(np.int64)
+    xf = np.floor(xi).astype(np.int64)
+    wy = (yi - yf)[:, None, None]
+    wx = (xi - xf)[None, :, None]
+    H, W = tex.shape[:2]
+    yf0 = np.clip(yf, 0, H - 2)
+    xf0 = np.clip(xf, 0, W - 2)
+    t00 = tex[yf0[:, None], xf0[None, :]]
+    t01 = tex[yf0[:, None], xf0[None, :] + 1]
+    t10 = tex[yf0[:, None] + 1, xf0[None, :]]
+    t11 = tex[yf0[:, None] + 1, xf0[None, :] + 1]
+    out = (
+        t00 * (1 - wy) * (1 - wx)
+        + t01 * (1 - wy) * wx
+        + t10 * wy * (1 - wx)
+        + t11 * wy * wx
+    )
+    m = (
+        mask[yf0[:, None], xf0[None, :]]
+        & mask[yf0[:, None], xf0[None, :] + 1]
+        & mask[yf0[:, None] + 1, xf0[None, :]]
+        & mask[yf0[:, None] + 1, xf0[None, :] + 1]
+    )
+    return out.astype(np.float32), m

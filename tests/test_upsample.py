@@ -25,7 +25,7 @@ def test_downsample_avg(rng):
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
     out = np.asarray(up.downsample2x_avg(x))
     ref = np.asarray(x).reshape(1, 4, 2, 4, 2, 2).mean(axis=(2, 4))
-    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
     out4 = up.downsample_avg(x, 4)
     assert out4.shape == (1, 2, 2, 2)
 
