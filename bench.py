@@ -43,9 +43,7 @@ def main() -> None:
 
     @jax.jit
     def pipeline(params, sbs_frames):
-        x = jax.vmap(
-            lambda f: pp.side_by_side_nv12_to_model_input(f, H, 2 * W)[0]
-        )(sbs_frames)
+        x = jax.vmap(lambda f: pp.nv12_ingest(f, H, 2 * W)[0])(sbs_frames)
         left, right = pp.split_model_input(x)
         disp = model.apply(params, left, right)["disparity"]
         return disp, jnp.mean(disp)

@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: fused NV12 -> normalized 6-channel model input.
+
+One pass over the camera frame: reads the Y strip and the (half-height)
+interleaved UV strip of both eyes from a side-by-side NV12 buffer, performs
+the 2x nearest-neighbor chroma upsample, stacks [Yl,Ul,Vl,Yr,Ur,Vr], and
+writes (x - 128)/128 — the whole of the reference's CPU ``PreProcess`` hot
+path (``preprocess.cpp:913-1059``) as a single memory-bound kernel with
+exactly one read and one write per byte.
+
+Mosaic constraints shape the implementation:
+  * no uint8->float32 cast: hop through int32;
+  * no strided slicing (``[0::2]`` lowers to gather): the interleaved UV
+    row is deinterleaved with lane-parity masks + ``pltpu.roll`` instead;
+  * the lane (last) dim must tile to 128: the kernel emits channels-FIRST
+    [6, H, W] (lane dim = W), and the wrapper transposes to the model's
+    NHWC afterwards.
+
+Input layout: the flat NV12 buffer reshaped by the caller to
+  y_sbs  [H, 2W]      (left eye cols [0,W), right eye cols [W,2W))
+  uv_sbs [H/2, 2W]    (interleaved U,V pairs, 2 cols per chroma sample)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _vrepeat2(x: jnp.ndarray) -> jnp.ndarray:
+    """[T, W] -> [2T, W] repeating each row (vertical chroma upsample)."""
+    t, w = x.shape
+    return jnp.stack([x, x], axis=1).reshape(2 * t, w)
+
+
+def _preproc_kernel(y_ref, uv_ref, out_ref, *, width: int, interpret: bool):
+    """Block: y [2*TH, 2W], uv [TH, 2W] -> out [6, 2*TH, W]."""
+    y = y_ref[:].astype(jnp.int32).astype(jnp.float32)
+    uv = uv_ref[:].astype(jnp.int32).astype(jnp.float32)
+    w = width
+
+    def roll_lanes(x, shift):
+        if interpret:
+            return jnp.roll(x, shift, axis=1)
+        return pltpu.roll(x, shift % x.shape[1], axis=1)  # pltpu: shift >= 0
+
+    def eye(col0):
+        ye = y[:, col0 : col0 + w]  # [2TH, W]
+        uve = uv[:, col0 : col0 + w]  # [TH, W]: u,v interleaved in lanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, uve.shape, dimension=1)
+        even = (lane % 2) == 0
+        # Every lane gets the U (resp. V) of its 2-lane chroma pair — this
+        # IS the horizontal nearest-neighbor upsample.
+        u_row = jnp.where(even, uve, roll_lanes(uve, 1))
+        v_row = jnp.where(even, roll_lanes(uve, -1), uve)
+        return ye, _vrepeat2(u_row), _vrepeat2(v_row)
+
+    yl, ul, vl = eye(0)
+    yr, ur, vr = eye(w)
+    stacked = jnp.stack([yl, ul, vl, yr, ur, vr], axis=0)  # [6, 2TH, W]
+    out_ref[:] = (stacked - 128.0) * (1.0 / 128.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "row_tile", "interpret")
+)
+def nv12_sbs_preprocess_pallas(
+    sbs_nv12: jnp.ndarray,
+    height: int,
+    width: int,
+    row_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flat side-by-side NV12 uint8 buffer -> [1, H, W, 6] float32
+    normalized model input (width = single-eye width)."""
+    full_w = 2 * width
+    y = sbs_nv12[: height * full_w].reshape(height, full_w)
+    uv = sbs_nv12[height * full_w :].reshape(height // 2, full_w)
+    assert (height // 2) % row_tile == 0, (height, row_tile)
+
+    grid = ((height // 2) // row_tile,)
+    y_spec = pl.BlockSpec(
+        (2 * row_tile, full_w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    uv_spec = pl.BlockSpec(
+        (row_tile, full_w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (6, 2 * row_tile, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_preproc_kernel, width=width, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((6, height, width), jnp.float32),
+        grid=grid,
+        in_specs=[y_spec, uv_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+    )(y, uv)
+    return jnp.transpose(out, (1, 2, 0))[None]

@@ -31,14 +31,27 @@ def save_params(path: str, params: Any) -> None:
 
 
 def load_params(path: str, like: Optional[Any] = None) -> Any:
-    """Load a params pytree.  If ``like`` is given, restores with matching
-    structure/dtypes (required when the tree contains non-default leaves)."""
-    path = os.path.abspath(path)
-    if like is not None:
-        import orbax.checkpoint as ocp
+    """Load a params pytree.
 
-        return _checkpointer().restore(path, item=jax.device_get(like))
-    return _checkpointer().restore(path)
+    Accepts either a bare params checkpoint or a full train-state
+    checkpoint (``{"params", "opt_state", "step"}`` as written by
+    :func:`save_train_state`) — in the latter case the ``params`` subtree
+    is extracted.  ``like`` (optional) validates the restored structure.
+    """
+    path = os.path.abspath(path)
+    restored = _checkpointer().restore(path)
+    if isinstance(restored, dict) and "params" in restored and "opt_state" in restored:
+        restored = restored["params"]
+    if like is not None:
+        import jax.tree_util as jtu
+
+        want = jtu.tree_structure(jax.device_get(like))
+        got = jtu.tree_structure(restored)
+        if want != got:
+            raise ValueError(
+                f"checkpoint structure mismatch: expected {want}, got {got}"
+            )
+    return restored
 
 
 def save_train_state(path: str, state) -> None:
@@ -50,8 +63,5 @@ def save_train_state(path: str, state) -> None:
 def load_train_state(path: str, like) -> Any:
     from .training import TrainState
 
-    tree = load_params(
-        path,
-        like={"params": like.params, "opt_state": like.opt_state, "step": like.step},
-    )
+    tree = _checkpointer().restore(os.path.abspath(path))
     return TrainState(tree["params"], tree["opt_state"], tree["step"])

@@ -78,7 +78,7 @@ class StereoEngine:
 
         @jax.jit
         def _pipeline(params, sbs):
-            x = pp.side_by_side_nv12_to_model_input(sbs, H, 2 * W, cfg.preprocess)
+            x = pp.nv12_ingest(sbs, H, 2 * W, cfg.preprocess)
             left, right = pp.split_model_input(x)
             disp = self.model.apply(params, left, right)["disparity"][0]
             if compute_depth:
