@@ -207,6 +207,99 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_dump(args) -> int:
+    """Golden-tensor dump: run one pair, save every intermediate."""
+    from .data.loader import pad_to_multiple
+    from .data.sceneflow import _read_image
+    from .runtime.golden import dump_pipeline
+
+    left = pad_to_multiple(_read_image(args.left), 16)
+    right = pad_to_multiple(_read_image(args.right), 16)
+    eng = _build_engine(args, h=left.shape[0], w=left.shape[1])
+    tensors = dump_pipeline(eng.model, eng.params, left, right, eng.cfg, path=args.out)
+    print(json.dumps({"tensors": len(tensors), "out": args.out,
+                      "names": sorted(tensors)[:8]}))
+    return 0
+
+
+def cmd_compare(args) -> int:
+    """Diff two golden dumps."""
+    from .runtime.golden import compare, load_dump
+
+    ok, report = compare(load_dump(args.a), load_dump(args.b),
+                         rtol=args.rtol, atol=args.atol)
+    bad = {k: v for k, v in report.items() if v["status"] != "ok"}
+    print(json.dumps({"match": ok, "tensors": len(report),
+                      "mismatches": bad}))
+    return 0 if ok else 1
+
+
+def cmd_bench_scaling(args) -> int:
+    """GSPMD scaling check on a virtual CPU mesh: DP-sharded forward at
+    1..N devices.  (Single-chip rigs can't measure real multi-chip perf;
+    this validates the sharded program and reports relative efficiency on
+    the host backend.)"""
+    import os
+    import time as _time
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+    import jax
+
+    if jax.device_count() < args.devices:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import MeshConfig, StereoNetConfig
+    from .models import FastStereoNet
+    from .parallel import mesh as mesh_mod
+
+    cfg = StereoNetConfig(compute_dtype=jnp.float32)
+    model = FastStereoNet(cfg)
+    h, w = args.height, args.width
+    rng = np.random.default_rng(0)
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
+
+    results = {}
+    n_dev = args.devices
+    per_dev = args.per_device_batch
+    for n in [1, n_dev]:
+        mesh = mesh_mod.make_mesh(MeshConfig(data=n, tile=1), devices=jax.devices()[:n])
+        b = per_dev * n
+        l = mesh_mod.shard_batch(mesh, jnp.asarray(
+            rng.standard_normal((b, h, w, 3)).astype(np.float32)), tile_rows=False)
+        r = mesh_mod.shard_batch(mesh, jnp.asarray(
+            rng.standard_normal((b, h, w, 3)).astype(np.float32)), tile_rows=False)
+        ps = mesh_mod.replicate(mesh, params)
+        f = jax.jit(lambda p, a, bb: jnp.mean(model.apply(p, a, bb)["disparity"]))
+        float(f(ps, l, r))
+        t0 = _time.perf_counter()
+        iters = args.iters
+        for _ in range(iters):
+            out = f(ps, l, r)
+        float(out)
+        dt = _time.perf_counter() - t0
+        results[n] = b * iters / dt
+    eff = results[n_dev] / (results[1] * n_dev)
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "fps_1dev": round(results[1], 2),
+        f"fps_{n_dev}dev": round(results[n_dev], 2),
+        "scaling_efficiency": round(eff, 3),
+        "note": "virtual CPU devices share ONE physical host, so efficiency here only validates the sharded program compiles/runs; hardware scaling efficiency requires a real pod slice",
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="stereod", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -253,8 +346,38 @@ def main(argv=None) -> int:
     pt.add_argument("--log-every", type=int, default=20)
     pt.set_defaults(fn=cmd_train)
 
+    pd = sub.add_parser("dump", help="golden-tensor dump of one pair")
+    pd.add_argument("--left", required=True)
+    pd.add_argument("--right", required=True)
+    pd.add_argument("--out", required=True)
+    pd.add_argument("--checkpoint", default=None)
+    pd.set_defaults(fn=cmd_dump)
+
+    pc = sub.add_parser("compare", help="diff two golden dumps")
+    pc.add_argument("a")
+    pc.add_argument("b")
+    pc.add_argument("--rtol", type=float, default=1e-4)
+    pc.add_argument("--atol", type=float, default=1e-4)
+    pc.set_defaults(fn=cmd_compare)
+
+    pbs = sub.add_parser("bench-scaling",
+                         help="GSPMD scaling validation on a virtual mesh")
+    pbs.add_argument("--devices", type=int, default=8)
+    pbs.add_argument("--per-device-batch", type=int, default=1)
+    pbs.add_argument("--width", type=int, default=256)
+    pbs.add_argument("--height", type=int, default=128)
+    pbs.add_argument("--iters", type=int, default=5)
+    pbs.set_defaults(fn=cmd_bench_scaling)
+
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except (ValueError, AssertionError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -99,7 +99,19 @@ class StereoEngine:
     # Lifecycle
     # ------------------------------------------------------------------
 
-    def start(self) -> "StereoEngine":
+    def warmup(self) -> None:
+        """Compile the pipeline on a dummy frame so the first real frame's
+        latency metrics reflect steady state, not compilation."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        dummy = jnp.asarray(np.zeros(self._expected_len, np.uint8))
+        disp, _ = self._pipeline(self.params, dummy)
+        np.asarray(disp)  # force full execution through the tunnel
+
+    def start(self, warmup: bool = True) -> "StereoEngine":
+        if warmup:
+            self.warmup()
         self._stop.clear()
         self._threads = [
             threading.Thread(target=self._dispatch_loop, daemon=True, name="dispatch"),

@@ -210,3 +210,65 @@ def absolute_trajectory_error(est_centers: np.ndarray, gt_centers: np.ndarray) -
     Rot = Vt.T @ D @ U.T
     aligned = est @ Rot.T
     return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=-1))))
+
+
+# ---------------------------------------------------------------------------
+# Map persistence (SURVEY.md §5: checkpointed BA state so a restarted host
+# rejoins — the reference has no checkpoint/resume at all)
+# ---------------------------------------------------------------------------
+
+
+def save_map(path: str, slam: "StereoSLAM") -> None:
+    """Snapshot keyframe poses, landmarks, descriptors, and trajectory to a
+    single .npz so a restarted process resumes tracking against the same
+    map."""
+    st = slam.state
+    arrays = {
+        "trajectory": np.stack(st.trajectory) if st.trajectory else np.zeros((0, 3)),
+        "frames_tracked": np.asarray(st.frames_tracked),
+        "frames_lost": np.asarray(st.frames_lost),
+        "num_keyframes": np.asarray(len(st.keyframes)),
+    }
+    for i, kf in enumerate(st.keyframes):
+        arrays[f"kf{i}_index"] = np.asarray(kf.index)
+        arrays[f"kf{i}_R"] = kf.R
+        arrays[f"kf{i}_t"] = kf.t
+        arrays[f"kf{i}_points"] = kf.points_w
+        arrays[f"kf{i}_valid"] = kf.valid
+        arrays[f"kf{i}_xy"] = np.asarray(kf.keypoints.xy)
+        arrays[f"kf{i}_score"] = np.asarray(kf.keypoints.score)
+        arrays[f"kf{i}_desc"] = np.asarray(kf.keypoints.desc)
+        arrays[f"kf{i}_kpvalid"] = np.asarray(kf.keypoints.valid)
+    np.savez_compressed(path, **arrays)
+
+
+def load_map(path: str, slam: "StereoSLAM") -> "StereoSLAM":
+    """Restore a saved map into ``slam`` (in place; returns it)."""
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    st = slam.state
+    st.keyframes = []
+    traj = data["trajectory"]
+    st.trajectory = [traj[i] for i in range(traj.shape[0])]
+    st.poses = [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))] * len(st.trajectory)
+    st.frames_tracked = int(data["frames_tracked"])
+    st.frames_lost = int(data["frames_lost"])
+    for i in range(int(data["num_keyframes"])):
+        kp = Keypoints(
+            xy=jnp.asarray(data[f"kf{i}_xy"]),
+            score=jnp.asarray(data[f"kf{i}_score"]),
+            desc=jnp.asarray(data[f"kf{i}_desc"]),
+            valid=jnp.asarray(data[f"kf{i}_kpvalid"]),
+        )
+        st.keyframes.append(
+            Keyframe(
+                index=int(data[f"kf{i}_index"]),
+                R=data[f"kf{i}_R"],
+                t=data[f"kf{i}_t"],
+                keypoints=kp,
+                points_w=data[f"kf{i}_points"],
+                valid=data[f"kf{i}_valid"],
+            )
+        )
+    return slam

@@ -143,3 +143,72 @@ def test_cli_train_tiny(capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rep = json.loads(out)
     assert rep["steps"] == 2 and np.isfinite(rep["final_loss"])
+
+
+def test_golden_dump_and_compare(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from hobot_stereonet_tpu.models import FastStereoNet
+    from hobot_stereonet_tpu.runtime import golden
+    from tests.test_model import SMALL
+
+    model = FastStereoNet(SMALL)
+    l = rng.integers(0, 255, (16, 32, 3), dtype=np.uint8)
+    r = rng.integers(0, 255, (16, 32, 3), dtype=np.uint8)
+    x = jnp.zeros((1, 16, 32, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+
+    p1 = str(tmp_path / "a.npz")
+    t1 = golden.dump_pipeline(model, params, l, r, path=p1)
+    assert "disparity" in t1 and len(t1) > 5
+    ok, report = golden.compare(golden.load_dump(p1), t1)
+    assert ok, {k: v for k, v in report.items() if v["status"] != "ok"}
+    # Perturb one tensor -> mismatch detected.
+    t2 = dict(t1)
+    t2["disparity"] = t1["disparity"] + 1.0
+    ok2, report2 = golden.compare(t1, t2)
+    assert not ok2
+    assert report2["disparity"]["status"] == "mismatch"
+
+
+def test_slam_map_save_load(tmp_path, rng):
+    from hobot_stereonet_tpu.config import CameraConfig, SLAMConfig
+    from hobot_stereonet_tpu.data.synthetic import LayeredScene
+    from hobot_stereonet_tpu.slam.tracker import StereoSLAM, load_map, save_map
+
+    cam = CameraConfig(width=160, height=120, focal_px=150.0)
+    scene = LayeredScene(np.random.default_rng(2), 120, 160, 150.0, cam.baseline_m)
+    slam = StereoSLAM(cam, SLAMConfig(keyframe_translation_m=0.05), num_keypoints=128)
+    for tx in [0.0, 0.06, 0.12]:
+        l, _, d = scene.render(tx, 0.0)
+        slam.process(l, d)
+    path = str(tmp_path / "map.npz")
+    save_map(path, slam)
+
+    slam2 = StereoSLAM(cam, SLAMConfig(keyframe_translation_m=0.05), num_keypoints=128)
+    load_map(path, slam2)
+    assert len(slam2.state.keyframes) == len(slam.state.keyframes)
+    np.testing.assert_allclose(
+        slam2.state.keyframes[-1].points_w, slam.state.keyframes[-1].points_w
+    )
+    # Resumed tracker keeps tracking against the restored map.
+    l, _, d = scene.render(0.15, 0.0)
+    out = slam2.process(l, d)
+    assert out["tracked"]
+
+
+def test_stage_timer():
+    import time as _t
+
+    from hobot_stereonet_tpu.utils.profiling import StageTimer, device_trace
+
+    t = StageTimer()
+    with t.stage("a"):
+        _t.sleep(0.01)
+    with t.stage("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["a"]["total_ms"] >= 10
+    with device_trace(None):
+        pass  # no-op path
