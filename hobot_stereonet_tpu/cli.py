@@ -150,11 +150,26 @@ def cmd_bench(args) -> int:
 
 
 def cmd_slam(args) -> int:
-    """Stereo VO on a synthetic trajectory: network disparity (or GT with
-    --gt-disparity) -> tracker -> windowed BA -> ATE."""
+    """Stereo VO: synthetic trajectory by default, or a KITTI odometry
+    sequence with --odometry-root; network disparity (or GT with
+    --gt-disparity on the synthetic path) -> tracker -> windowed BA -> ATE."""
     import numpy as np
 
     from .config import CameraConfig, SLAMConfig
+
+    if args.odometry_root:
+        from .data.kitti_odometry import KittiOdometrySequence
+        from .slam.run import run_odometry_sequence
+
+        seq = KittiOdometrySequence(args.odometry_root, args.sequence)
+        first = seq[0]
+        eng = _build_engine(args, h=first.left.shape[0] // 16 * 16,
+                            w=first.left.shape[1] // 16 * 16)
+        out = run_odometry_sequence(seq, engine=eng, max_frames=args.frames)
+        if "ate_m" in out:
+            out["ate_m"] = round(out["ate_m"], 4)
+        print(json.dumps(out))
+        return 0
     from .data.synthetic import LayeredScene
     from .slam.tracker import StereoSLAM, absolute_trajectory_error
 
@@ -340,6 +355,9 @@ def main(argv=None) -> int:
     pv.add_argument("--seed", type=int, default=11)
     pv.add_argument("--gt-disparity", action="store_true",
                     help="use ground-truth disparity instead of the network")
+    pv.add_argument("--odometry-root", default=None,
+                    help="KITTI odometry root (switches from synthetic)")
+    pv.add_argument("--sequence", default="00")
     pv.add_argument("--checkpoint", default=None)
     pv.set_defaults(fn=cmd_slam)
 

@@ -1,1 +1,1 @@
-from . import kitti, loader, sceneflow, stream, synthetic
+from . import kitti, kitti_odometry, loader, sceneflow, stream, synthetic

@@ -1,1 +1,1 @@
-from . import colorspace, cost_volume, disparity, preprocess, soft_argmin
+from . import colorspace, cost_volume, disparity, preprocess, soft_argmin, upsample

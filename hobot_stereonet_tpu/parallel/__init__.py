@@ -1,1 +1,1 @@
-from . import halo, mesh
+from . import distributed, halo, mesh

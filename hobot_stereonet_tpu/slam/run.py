@@ -1,0 +1,62 @@
+"""Sequence-level SLAM runners: drive the tracker over a dataset sequence
+and score ATE against ground truth."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import CameraConfig, SLAMConfig
+from .tracker import StereoSLAM, absolute_trajectory_error
+
+
+def run_odometry_sequence(
+    sequence,
+    engine=None,
+    slam_cfg: SLAMConfig = SLAMConfig(),
+    max_frames: int = 0,
+    ba_window: int = 4,
+    num_keypoints: int = 512,
+) -> dict:
+    """Run stereo VO over an odometry sequence (KITTI layout or anything
+    exposing __len__/__getitem__ -> OdometryFrame and .camera/.gt_centers).
+
+    ``engine`` supplies network disparity via ``engine.infer``; when None
+    the sequence frames must be consumed GT-free (tracker uses network
+    only) — for dense-GT synthetic scenes use the tracker directly.
+    """
+    camera: CameraConfig = sequence.camera
+    if camera.width == 0 or camera.height == 0 or camera.width == 1280:
+        # Fill image geometry from the first frame (calib.txt has no size).
+        first = sequence[0]
+        camera = CameraConfig(
+            focal_px=camera.focal_px,
+            baseline_mm=camera.baseline_mm,
+            width=first.left.shape[1],
+            height=first.left.shape[0],
+        )
+    slam = StereoSLAM(camera, slam_cfg, num_keypoints=num_keypoints)
+
+    n = len(sequence) if max_frames == 0 else min(max_frames, len(sequence))
+    for i in range(n):
+        fr = sequence[i]
+        if engine is not None:
+            disp = engine.infer(fr.left, fr.right)
+        else:
+            raise ValueError("run_odometry_sequence needs an engine for disparity")
+        slam.process(fr.left, disp)
+        if ba_window and len(slam.state.keyframes) >= 2 and (i + 1) % 5 == 0:
+            slam.refine_window(window=ba_window)
+
+    est = np.stack(slam.state.trajectory)
+    out = {
+        "frames": n,
+        "tracked": slam.state.frames_tracked,
+        "lost": slam.state.frames_lost,
+        "keyframes": len(slam.state.keyframes),
+    }
+    gt = sequence.gt_centers() if hasattr(sequence, "gt_centers") else None
+    if gt is not None:
+        out["ate_m"] = absolute_trajectory_error(est, gt[:n])
+    return out
