@@ -103,6 +103,10 @@ class StereoNetConfig:
     upsample_mode: str = "convex"
     # Compute dtype for the network (params stay float32).
     compute_dtype: Any = jnp.bfloat16
+    # Rematerialize the feature tower + aggregation in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for activation memory,
+    # enabling large-crop/batch training within HBM.
+    remat: bool = False
     # Input channels: 6 = stacked L/R in a single tensor is the reference's
     # contract; internally we feed 3-channel left and right separately.
     input_channels: int = 3

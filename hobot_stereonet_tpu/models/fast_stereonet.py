@@ -68,7 +68,12 @@ class FastStereoNet(nn.Module):
         b, h, w = left.shape[0], left.shape[1], left.shape[2]
         k = cfg.cost_resolution_divisor
 
-        feats = FeatureTower(cfg)(jnp.concatenate([left, right], axis=0))
+        # Pinned name: nn.remat renames the class, which would break
+        # checkpoint compatibility between remat on/off.
+        tower_cls = nn.remat(FeatureTower) if cfg.remat else FeatureTower
+        feats = tower_cls(cfg, name="FeatureTower_0")(
+            jnp.concatenate([left, right], axis=0)
+        )
         feat_l, feat_r = feats[:b], feats[b:]
 
         # [B, D, h/k, w/k] -> channel-last [B, h/k, w/k, D]

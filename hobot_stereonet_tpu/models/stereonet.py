@@ -132,13 +132,17 @@ class StereoNet(nn.Module):
 
         # 1. Siamese tower — one batched call over both eyes (2B batch keeps
         # the MXU fed and halves kernel launches vs. two calls).
-        tower = FeatureTower(cfg)
+        # Pin the name: nn.remat renames the class (Checkpoint<X>), which
+        # would make remat on/off checkpoints incompatible.
+        tower_cls = nn.remat(FeatureTower) if cfg.remat else FeatureTower
+        tower = tower_cls(cfg, name="FeatureTower_0")
         feats = tower(jnp.concatenate([left, right], axis=0))
         feat_l, feat_r = feats[:b], feats[b:]
 
         # 2-3. Cost volume + aggregation at 1/k resolution.
         volume = build_cost_volume(feat_l, feat_r, cfg.num_disparities_coarse)
-        cost = CostAggregation(cfg)(volume)  # [B, D/k, h/k, w/k]
+        agg_cls = nn.remat(CostAggregation) if cfg.remat else CostAggregation
+        cost = agg_cls(cfg, name="CostAggregation_0")(volume)  # [B, D/k, h/k, w/k]
 
         # 4. Soft-argmin -> coarse disparity in *coarse-pixel* units; scale
         # to full-res pixel units so refinement residuals are in px.

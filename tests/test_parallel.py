@@ -99,3 +99,48 @@ def test_data_parallel_forward_matches_single(eight_devices, rng):
         out_shardings=NamedSharding(m, mesh_mod.batch_map_spec()),
     )(ps, ls, rs)
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded), atol=5e-2)
+
+
+def test_tile_sharded_classic_forward_matches_single(eight_devices, rng):
+    """Row-tiled (tile=4) classic StereoNet forward == unsharded — GSPMD
+    halo handling for the stride-2 tower + 3D aggregation is correct."""
+    from hobot_stereonet_tpu.models import StereoNet
+    from tests.test_model import SMALL
+
+    model = StereoNet(SMALL)
+    l = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), l[:1], r[:1])
+    single = jax.jit(lambda p, a, b: model.apply(p, a, b)["disparity"])(params, l, r)
+
+    m = mesh_mod.make_mesh(MeshConfig(data=2, tile=4))
+    ls = mesh_mod.shard_batch(m, l)
+    rs = mesh_mod.shard_batch(m, r)
+    ps = mesh_mod.replicate(m, params)
+    sharded = jax.jit(
+        lambda p, a, b: model.apply(p, a, b)["disparity"],
+        out_shardings=NamedSharding(m, mesh_mod.batch_map_spec()),
+    )(ps, ls, rs)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded), atol=5e-2)
+
+
+def test_remat_gradients(rng):
+    """remat=True computes identical gradients (checkpointing is
+    numerics-preserving) while enabling memory savings."""
+    import dataclasses
+
+    from hobot_stereonet_tpu.models import FastStereoNet
+    from tests.test_model import SMALL
+
+    cfg_r = dataclasses.replace(SMALL, remat=True)
+    l = jnp.asarray(rng.standard_normal((1, 16, 32, 3)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((1, 16, 32, 3)).astype(np.float32))
+
+    m0, m1 = FastStereoNet(SMALL), FastStereoNet(cfg_r)
+    params = jax.jit(m0.init)(jax.random.PRNGKey(0), l, r)
+
+    g0 = jax.jit(jax.grad(lambda p: jnp.mean(m0.apply(p, l, r)["disparity"])))(params)
+    g1 = jax.jit(jax.grad(lambda p: jnp.mean(m1.apply(p, l, r)["disparity"])))(params)
+    a = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g0)])
+    b = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g1)])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
