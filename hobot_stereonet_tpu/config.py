@@ -143,6 +143,12 @@ class PreprocessConfig:
     quant_max: int = 127
     # Native TPU path runs bf16/fp32; int8 path exists for parity testing.
     quantize: bool = False
+    # Model input color space for the NV12 camera path.  "rgb" (default)
+    # converts YUV444 -> RGB on device so streaming matches the RGB-trained
+    # checkpoints (dataset/eval paths feed RGB); "yuv" keeps the raw
+    # stacked-YUV444 contract of the reference blob (SURVEY.md C13) for
+    # parity testing.
+    color_space: str = "rgb"
 
 
 # ---------------------------------------------------------------------------
@@ -182,12 +188,10 @@ class EngineConfig:
 
     ``inflight`` generalizes the reference's async BPU task pool
     (``task_num = 4`` at ``stereonet_node.cpp:144``) to N in-flight device
-    batches via JAX async dispatch with donated buffers.
+    batches via JAX async dispatch.
     """
 
-    batch_size: int = 1
     inflight: int = 4
-    donate_buffers: bool = True
     # Host-side feed queue capacity (frames).
     feed_queue_depth: int = 8
     drop_on_full: bool = True  # reference drops bad/late frames, we do too
@@ -239,17 +243,6 @@ class Config:
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "Config":
-        def build(klass, sub):
-            kwargs = {}
-            for f in dataclasses.fields(klass):
-                if f.name not in sub:
-                    continue
-                v = sub[f.name]
-                if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-                    v = build(f.type, v)
-                kwargs[f.name] = v
-            return klass(**kwargs)
-
         sub_types = {
             "camera": CameraConfig,
             "model": StereoNetConfig,

@@ -73,6 +73,11 @@ class BatchIterator:
     shuffle: bool = True
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        if len(self.dataset) < self.batch_size:
+            raise ValueError(
+                f"dataset ({len(self.dataset)}) smaller than batch_size "
+                f"({self.batch_size}) — the iterator would never yield"
+            )
         rng = np.random.default_rng(self.seed)
         order = np.arange(len(self.dataset))
         while True:

@@ -93,6 +93,12 @@ def yuv_to_bgr(yuv: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([b, g, r], axis=-1)
 
 
+def yuv_to_rgb(yuv: jnp.ndarray) -> jnp.ndarray:
+    """HWC (or ...HWC) YUV444 float -> RGB float32."""
+    bgr = yuv_to_bgr(yuv)
+    return bgr[..., ::-1]
+
+
 def bgr_to_nv12(bgr: jnp.ndarray) -> jnp.ndarray:
     """HWC BGR uint8 -> flat NV12 uint8 (``Tools::BGRToNv12`` semantics,
     ``preprocess.h:56-96``): BT.601 conversion, chroma averaged over each

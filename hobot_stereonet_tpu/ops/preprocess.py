@@ -61,6 +61,11 @@ def nv12_pair_to_model_input(
     """
     left = cs.nv12_to_yuv444(left_nv12, height, width)
     right = cs.nv12_to_yuv444(right_nv12, height, width)
+    if cfg.color_space == "rgb":
+        # Match the dataset/training input contract (RGB): convert on
+        # device so streaming and eval run the same distribution.
+        left = jnp.clip(cs.yuv_to_rgb(left), 0.0, 255.0)
+        right = jnp.clip(cs.yuv_to_rgb(right), 0.0, 255.0)
     stacked = jnp.concatenate([left, right], axis=-1)  # [H, W, 6]
     out = normalize(stacked, cfg)
     if cfg.quantize:
@@ -101,13 +106,23 @@ def nv12_ingest(
     use_pallas = (
         jax.default_backend() == "tpu"
         and not cfg.quantize
+        and cfg.mean == 128.0
+        and cfg.std == 128.0
         and height % 16 == 0
         and width % 128 == 0
     )
     if use_pallas:
         from .pallas.preprocess_kernel import nv12_sbs_preprocess_pallas
 
-        return nv12_sbs_preprocess_pallas(sbs_nv12, height, width)
+        out = nv12_sbs_preprocess_pallas(sbs_nv12, height, width)  # YUV444
+        if cfg.color_space == "rgb":
+            # Undo normalize, convert YUV->RGB per eye, re-normalize —
+            # XLA fuses this into the kernel's output epilogue.
+            yuv = out * cfg.std + cfg.mean
+            l = jnp.clip(cs.yuv_to_rgb(yuv[..., :3]), 0.0, 255.0)
+            r = jnp.clip(cs.yuv_to_rgb(yuv[..., 3:]), 0.0, 255.0)
+            out = (jnp.concatenate([l, r], axis=-1) - cfg.mean) / cfg.std
+        return out
     return side_by_side_nv12_to_model_input(sbs_nv12, height, full_width, cfg)
 
 

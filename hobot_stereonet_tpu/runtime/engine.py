@@ -88,10 +88,17 @@ class StereoEngine:
             return disp, depth
 
         self._pipeline = _pipeline
+        # One jitted apply reused across infer() calls — a fresh jax.jit per
+        # call would retrace and recompile every frame.
+        self._infer_fn = jax.jit(self.model.apply)
 
         self._feed_q: "queue.Queue" = queue.Queue(maxsize=cfg.engine.feed_queue_depth)
         self._inflight_q: "queue.Queue" = queue.Queue(maxsize=max(cfg.engine.inflight, 1))
         self._result_q: "queue.Queue" = queue.Queue()
+        # Frames popped from a queue but not yet pushed to the next stage
+        # are otherwise invisible to emptiness checks (drain/results race).
+        self._in_progress = 0
+        self._in_progress_lock = threading.Lock()
         self._stop = threading.Event()
         self._threads = []
 
@@ -169,22 +176,26 @@ class StereoEngine:
         except queue.Empty:
             return None
 
+    def _idle(self) -> bool:
+        with self._in_progress_lock:
+            busy = self._in_progress
+        return busy == 0 and self._feed_q.empty() and self._inflight_q.empty()
+
     def results(self, timeout: float = 5.0) -> Iterator[StereoResult]:
         """Drain results until the pipeline is idle for ``timeout`` seconds
         or the engine is stopped."""
         while True:
             res = self.poll(timeout=timeout)
             if res is None:
-                if self._stop.is_set() or (
-                    self._feed_q.empty() and self._inflight_q.empty()
-                ):
+                if self._stop.is_set() or self._idle():
                     return
                 continue
             yield res
 
     def drain(self) -> None:
-        """Block until everything fed so far has been dispatched+fetched."""
-        while not (self._feed_q.empty() and self._inflight_q.empty()):
+        """Block until everything fed so far has been dispatched+fetched,
+        including frames currently in a worker's hands."""
+        while not self._idle():
             time.sleep(0.005)
 
     # ------------------------------------------------------------------
@@ -221,7 +232,7 @@ class StereoEngine:
 
         x = pp.rgb_pair_to_model_input(left_rgb, right_rgb, self.cfg.preprocess)
         left, right = pp.split_model_input(x)
-        disp = jax.jit(self.model.apply)(self.params, left, right)["disparity"]
+        disp = self._infer_fn(self.params, left, right)["disparity"]
         return np.asarray(disp[0])
 
     # ------------------------------------------------------------------
@@ -236,12 +247,16 @@ class StereoEngine:
                 frame: Frame = self._feed_q.get(timeout=0.1)
             except queue.Empty:
                 continue
+            with self._in_progress_lock:
+                self._in_progress += 1
             t0 = time.monotonic()
             sbs = jnp.asarray(frame.sbs_nv12)
             disp, depth = self._pipeline(self.params, sbs)
             # Bounded in-flight depth: blocks dispatch when the device is
             # already `inflight` frames behind (backpressure, not drop).
             self._inflight_q.put((frame, disp, depth, t0))
+            with self._in_progress_lock:
+                self._in_progress -= 1
 
     def _fetch_loop(self) -> None:
         while not self._stop.is_set():
@@ -249,6 +264,8 @@ class StereoEngine:
                 frame, disp, depth, t0 = self._inflight_q.get(timeout=0.1)
             except queue.Empty:
                 continue
+            with self._in_progress_lock:
+                self._in_progress += 1
             disp_np = np.asarray(disp)  # true sync: host transfer
             depth_np = np.asarray(depth) if depth is not None else None
             now = time.monotonic()
@@ -265,3 +282,5 @@ class StereoEngine:
                     e2e_latency_s=now - frame.timestamp,
                 )
             )
+            with self._in_progress_lock:
+                self._in_progress -= 1

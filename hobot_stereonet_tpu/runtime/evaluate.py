@@ -14,7 +14,6 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 from ..config import Config
-from ..data.loader import pad_to_multiple
 from ..ops import disparity as dp
 
 
@@ -55,11 +54,15 @@ def evaluate_dataset(
     k = cfg.model.cost_resolution_divisor * 2  # stride multiple incl. refinement
     n = len(dataset) if max_frames == 0 else min(max_frames, len(dataset))
 
-    # One compile: pad every sample to the dataset max (or given) size.
+    # Single pass over the dataset: pad to a running-max compile size.  A
+    # shape bump recompiles once, which beats decoding every sample twice
+    # just to pre-compute the max (dataset __getitem__ does real file IO).
     if batch_compile_hw is None:
-        h = max(dataset[i].left.shape[0] for i in range(n))
-        w = max(dataset[i].left.shape[1] for i in range(n))
-        batch_compile_hw = (-(-h // k) * k, -(-w // k) * k)
+        first = dataset[0]
+        batch_compile_hw = (
+            -(-first.left.shape[0] // k) * k,
+            -(-first.left.shape[1] // k) * k,
+        )
     H, W = batch_compile_hw
 
     @jax.jit
@@ -73,7 +76,9 @@ def evaluate_dataset(
     for i in range(n):
         s = dataset[i]
         h0, w0 = s.left.shape[:2]
-        l = pad_to_multiple(s.left, 1)
+        if h0 > H or w0 > W:
+            H = max(H, -(-h0 // k) * k)
+            W = max(W, -(-w0 // k) * k)
         l = np.pad(s.left, [(0, H - h0), (0, W - w0), (0, 0)])
         r = np.pad(s.right, [(0, H - h0), (0, W - w0), (0, 0)])
         pred = np.asarray(fwd(params, jnp.asarray(l), jnp.asarray(r)))[:h0, :w0]

@@ -134,8 +134,18 @@ class FrameRing:
             pass
 
 
-def nv12_split_sbs(sbs: np.ndarray, height: int, full_width: int):
+def _require_lib():
     lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native hostio unavailable (no C++ compiler?) — use the jnp "
+            "ops in hobot_stereonet_tpu.ops.colorspace instead"
+        )
+    return lib
+
+
+def nv12_split_sbs(sbs: np.ndarray, height: int, full_width: int):
+    lib = _require_lib()
     sbs = np.ascontiguousarray(sbs, np.uint8)
     half = full_width // 2
     n = height * half * 3 // 2
@@ -146,7 +156,7 @@ def nv12_split_sbs(sbs: np.ndarray, height: int, full_width: int):
 
 
 def nv12_to_yuv444(nv12: np.ndarray, height: int, width: int) -> np.ndarray:
-    lib = _load()
+    lib = _require_lib()
     nv12 = np.ascontiguousarray(nv12, np.uint8)
     out = np.empty((height, width, 3), np.uint8)
     lib.nv12_to_yuv444(_buf(nv12), _buf(out), height, width)
@@ -154,7 +164,7 @@ def nv12_to_yuv444(nv12: np.ndarray, height: int, width: int) -> np.ndarray:
 
 
 def bgr_to_nv12(bgr: np.ndarray) -> np.ndarray:
-    lib = _load()
+    lib = _require_lib()
     bgr = np.ascontiguousarray(bgr, np.uint8)
     h, w = bgr.shape[:2]
     out = np.empty(h * w * 3 // 2, np.uint8)

@@ -189,10 +189,15 @@ class StereoSLAM:
         res = bundle_adjust(problem, self.camera, iters=self.cfg.ba_iterations,
                             huber_px=self.cfg.huber_delta_px,
                             damping=self.cfg.ba_damping)
-        # Write back refined poses/landmarks.
+        # Write back refined poses/landmarks — including the trajectory
+        # entries at each keyframe's frame index, so reported ATE reflects
+        # the bundle-adjusted poses, not the raw PnP ones.
         for i, kf in enumerate(kfs):
             kf.R = np.asarray(res.R[i])
             kf.t = np.asarray(res.t[i])
+            if 0 <= kf.index < len(st.poses):
+                st.poses[kf.index] = (kf.R, kf.t)
+                st.trajectory[kf.index] = self._center(kf.R, kf.t)
         newest.points_w = np.asarray(res.landmarks)
         return {"cost": np.asarray(res.cost_history)}
 

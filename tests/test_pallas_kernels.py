@@ -39,12 +39,17 @@ def test_softargmin_kernel_matches_oracle(rng):
 
 
 def test_preprocess_kernel_matches_oracle(rng):
+    from hobot_stereonet_tpu.config import PreprocessConfig
+
     h, w = 32, 64  # single-eye width
     buf = jnp.asarray(
         rng.integers(0, 256, size=(h * 2 * w * 3 // 2,), dtype=np.uint8)
     )
+    # The kernel emits normalized YUV444; compare against the yuv oracle.
     out = nv12_sbs_preprocess_pallas(buf, h, w, row_tile=8, interpret=True)
-    ref = side_by_side_nv12_to_model_input(buf, h, 2 * w)
+    ref = side_by_side_nv12_to_model_input(
+        buf, h, 2 * w, PreprocessConfig(color_space="yuv")
+    )
     assert out.shape == ref.shape == (1, h, w, 6)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 

@@ -32,15 +32,31 @@ def test_quant_dequant_error_bound(rng):
     assert np.max(np.abs(back - np.asarray(x))) <= 1.0 / 128.0
 
 
-def test_nv12_pair_to_model_input(rng):
+def test_nv12_pair_to_model_input_yuv_parity(rng):
+    """color_space='yuv' keeps the reference blob's stacked-YUV444 contract
+    (merge order at preprocess.cpp:998-1003)."""
     h, w = 8, 16
+    cfg = PreprocessConfig(color_space="yuv")
     l = jnp.asarray(rng.integers(0, 256, size=(h * w * 3 // 2,), dtype=np.uint8))
     r = jnp.asarray(rng.integers(0, 256, size=(h * w * 3 // 2,), dtype=np.uint8))
-    out = pp.nv12_pair_to_model_input(l, r, h, w)
+    out = pp.nv12_pair_to_model_input(l, r, h, w, cfg)
     assert out.shape == (1, h, w, 6)
-    # Channel order: 0..2 left YUV, 3..5 right YUV (reference merge order).
     left444 = np.asarray(cs.nv12_to_yuv444(l, h, w)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(out)[0, ..., :3], (left444 - 128) / 128)
+
+
+def test_nv12_pair_to_model_input_rgb_default(rng):
+    """Default color_space='rgb': YUV444 -> RGB so streaming matches the
+    RGB-trained checkpoints (train/serve skew guard)."""
+    h, w = 8, 16
+    l = jnp.asarray(rng.integers(0, 256, size=(h * w * 3 // 2,), dtype=np.uint8))
+    out = pp.nv12_pair_to_model_input(l, l, h, w)
+    assert out.shape == (1, h, w, 6)
+    yuv = np.asarray(cs.nv12_to_yuv444(l, h, w)).astype(np.float32)
+    rgb = np.clip(np.asarray(cs.yuv_to_rgb(jnp.asarray(yuv))), 0, 255)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, ..., :3], (rgb - 128) / 128, atol=1e-5
+    )
 
 
 def test_side_by_side_ingest(rng):
@@ -51,6 +67,21 @@ def test_side_by_side_ingest(rng):
     l, r = cs.split_side_by_side_nv12(buf, h, fw)
     ref = pp.nv12_pair_to_model_input(l, r, h, fw // 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_nv12_ingest_matches_rgb_training_input(rng):
+    """The serving ingest and the dataset/training path produce the SAME
+    distribution for the same scene content (up to 4:2:0 chroma loss)."""
+    from hobot_stereonet_tpu.data.stream import rgb_pair_to_sbs_nv12
+
+    yy, xx = np.mgrid[0:16, 0:32]
+    l = np.stack([30 + 5 * xx % 200, 40 + 3 * yy % 180, (xx + 2 * yy) % 150], -1).astype(np.uint8)
+    r = np.roll(l, 3, axis=1)
+    buf = jnp.asarray(rgb_pair_to_sbs_nv12(l, r))
+    served = np.asarray(pp.nv12_ingest(buf, 16, 64))[0]
+    trained = np.asarray(pp.rgb_pair_to_model_input(jnp.asarray(l), jnp.asarray(r)))[0]
+    # 4:2:0 chroma decimation costs a few counts; distributions must agree.
+    assert np.abs(served - trained).mean() < 0.05
 
 
 def test_rgb_pair_and_split(rng):
