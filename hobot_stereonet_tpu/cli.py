@@ -19,7 +19,8 @@ import sys
 from typing import Optional
 
 
-def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None):
+def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None,
+                  keep_left: bool = False):
     from .config import CameraConfig, Config
     from .runtime.engine import StereoEngine
 
@@ -45,7 +46,7 @@ def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None):
         dummy = jnp.zeros((1, cfg.camera.height, cfg.camera.width, 3), jnp.float32)
         like = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
         params = ckpt.load_params(args.checkpoint, like=like)
-    return StereoEngine(cfg, params=params)
+    return StereoEngine(cfg, params=params, keep_left=keep_left)
 
 
 def cmd_infer(args) -> int:
@@ -87,7 +88,8 @@ def cmd_stream(args) -> int:
     from .data.stream import SyntheticStreamSource
     from .utils.profiling import device_trace
 
-    eng = _build_engine(args)
+    serve_port = getattr(args, "serve", None)
+    eng = _build_engine(args, keep_left=serve_port is not None)
     src = SyntheticStreamSource(
         height=eng.cfg.camera.height,
         width=eng.cfg.camera.width,
@@ -95,8 +97,41 @@ def cmd_stream(args) -> int:
         num_frames=args.frames,
         paced=not args.unpaced,
     )
-    with device_trace(getattr(args, "profile", None)):
-        results = eng.run_stream(src)
+    server = None
+    if serve_port is not None:
+        from .viz.server import DisplayServer
+
+        server = DisplayServer(
+            port=serve_port, metrics_fn=lambda: eng.metrics.snapshot()
+        ).start()
+        print(f"serving live view on http://localhost:{server.port}/", flush=True)
+    try:
+        with device_trace(getattr(args, "profile", None)):
+            if server is not None:
+                from .viz.server import publish_result
+
+                results = []
+                with eng:
+                    for frame in src:
+                        eng.feed(frame)
+                        while True:
+                            r = eng.poll(timeout=0)
+                            if r is None:
+                                break
+                            publish_result(server, r)
+                            results.append(r)
+                    eng.drain()
+                    while True:
+                        r = eng.poll(timeout=0.2)
+                        if r is None:
+                            break
+                        publish_result(server, r)
+                        results.append(r)
+            else:
+                results = eng.run_stream(src)
+    finally:
+        if server is not None:
+            server.stop()
     snap = eng.metrics.snapshot()
     if results and results[0].gt_disparity is not None:
         import numpy as np
@@ -158,10 +193,9 @@ def cmd_slam(args) -> int:
     from .config import CameraConfig, SLAMConfig
 
     if args.odometry_root:
-        from .data.kitti_odometry import KittiOdometrySequence
-        from .slam.run import run_odometry_sequence
+        from .slam.run import open_sequence, run_odometry_sequence
 
-        seq = KittiOdometrySequence(args.odometry_root, args.sequence)
+        seq = open_sequence(args.odometry_root, args.sequence)
         first = seq[0]
         eng = _build_engine(args, h=first.left.shape[0] // 16 * 16,
                             w=first.left.shape[1] // 16 * 16)
@@ -335,6 +369,9 @@ def main(argv=None) -> int:
     ps.add_argument("--checkpoint", default=None)
     ps.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="write a jax.profiler trace for TensorBoard")
+    ps.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve a live MJPEG browser view (left|depth "
+                         "composite) on this port")
     ps.set_defaults(fn=cmd_stream)
 
     pe = sub.add_parser("eval", help="dataset EPE/D1 evaluation")
@@ -356,7 +393,8 @@ def main(argv=None) -> int:
     pv.add_argument("--gt-disparity", action="store_true",
                     help="use ground-truth disparity instead of the network")
     pv.add_argument("--odometry-root", default=None,
-                    help="KITTI odometry root (switches from synthetic)")
+                    help="KITTI odometry or EuRoC MAV root (switches from "
+                         "synthetic; layout auto-detected)")
     pv.add_argument("--sequence", default="00")
     pv.add_argument("--checkpoint", default=None)
     pv.set_defaults(fn=cmd_slam)

@@ -1,1 +1,1 @@
-from . import kitti, kitti_odometry, loader, sceneflow, stream, synthetic
+from . import euroc, kitti, kitti_odometry, loader, sceneflow, stream, synthetic

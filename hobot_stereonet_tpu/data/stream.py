@@ -44,6 +44,24 @@ def rgb_pair_to_sbs_nv12(left_rgb: np.ndarray, right_rgb: np.ndarray) -> np.ndar
     return np.asarray(cs.bgr_to_nv12(jnp.asarray(bgr)))
 
 
+def sbs_nv12_to_left_rgb(sbs_nv12: np.ndarray, height: int, full_width: int) -> np.ndarray:
+    """Host-side decode of the LEFT eye of a side-by-side NV12 buffer to RGB
+    uint8 — the display path's inverse of :func:`rgb_pair_to_sbs_nv12`
+    (pure numpy: the viz/serve path must not contend for the device).
+    Nearest-neighbor chroma upsample + BT.601 full-range, matching
+    ``ops.colorspace`` (reference semantics: ``preprocess.h:128-155``)."""
+    h, fw = height, full_width
+    w = fw // 2
+    y = sbs_nv12[: h * fw].reshape(h, fw)[:, :w].astype(np.float32)
+    uv = sbs_nv12[h * fw :].reshape(h // 2, fw // 2, 2)[:, : w // 2, :].astype(np.float32)
+    u = uv[..., 0].repeat(2, axis=0).repeat(2, axis=1)
+    v = uv[..., 1].repeat(2, axis=0).repeat(2, axis=1)
+    b = y + (u - 128.0) / 0.492
+    r = y + (v - 128.0) / 0.877
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
 class SyntheticStreamSource:
     """Yields paced side-by-side NV12 frames from the procedural generator."""
 

@@ -40,6 +40,7 @@ class StereoResult:
     depth_m: Optional[np.ndarray] = None
     gt_disparity: Optional[np.ndarray] = None
     e2e_latency_s: float = 0.0
+    left_rgb: Optional[np.ndarray] = None  # only when engine keep_left=True
 
 
 class StereoEngine:
@@ -55,7 +56,7 @@ class StereoEngine:
     """
 
     def __init__(self, cfg: Config = Config(), model=None, params=None,
-                 compute_depth: bool = True):
+                 compute_depth: bool = True, keep_left: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -65,6 +66,9 @@ class StereoEngine:
         self.metrics = EngineMetrics()
         self.model = model if model is not None else FastStereoNet(cfg.model)
         self._compute_depth = compute_depth
+        # Decode the left view for display consumers (the reference
+        # JPEG-encodes and republishes it, stereonet_node.cpp:782-785).
+        self._keep_left = keep_left
 
         H, W = cfg.camera.height, cfg.camera.width
         self._expected_len = H * (2 * W) * 3 // 2
@@ -268,6 +272,13 @@ class StereoEngine:
                 self._in_progress += 1
             disp_np = np.asarray(disp)  # true sync: host transfer
             depth_np = np.asarray(depth) if depth is not None else None
+            left_rgb = None
+            if self._keep_left:
+                from ..data.stream import sbs_nv12_to_left_rgb
+
+                left_rgb = sbs_nv12_to_left_rgb(
+                    frame.sbs_nv12, frame.height, frame.full_width
+                )
             now = time.monotonic()
             self.metrics.infer_latency.record(now - t0)
             self.metrics.e2e_latency.record(now - frame.timestamp)
@@ -280,6 +291,7 @@ class StereoEngine:
                     depth_m=depth_np,
                     gt_disparity=frame.gt_disparity,
                     e2e_latency_s=now - frame.timestamp,
+                    left_rgb=left_rgb,
                 )
             )
             with self._in_progress_lock:

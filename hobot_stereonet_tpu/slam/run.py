@@ -58,5 +58,26 @@ def run_odometry_sequence(
     }
     gt = sequence.gt_centers() if hasattr(sequence, "gt_centers") else None
     if gt is not None:
-        out["ate_m"] = absolute_trajectory_error(est, gt[:n])
+        gt = gt[:n]
+        # EuRoC GT can be missing at sequence edges (NaN rows from the
+        # nearest-timestamp association) — align on the covered frames only.
+        ok = np.isfinite(gt).all(axis=-1)
+        if ok.sum() >= 2:
+            out["ate_m"] = absolute_trajectory_error(est[ok], gt[ok])
     return out
+
+
+def open_sequence(root: str, sequence: str = ""):
+    """Auto-detect the odometry dataset layout under ``root``: EuRoC ASL
+    (``mav0`` directory) vs KITTI odometry (``sequences`` directory)."""
+    import os
+
+    from ..data.euroc import EurocSequence
+    from ..data.kitti_odometry import KittiOdometrySequence
+
+    base = os.path.join(root, sequence) if sequence else root
+    if os.path.isdir(os.path.join(base, "mav0")):
+        return EurocSequence(root, sequence)
+    if os.path.isdir(os.path.join(root, "mav0")):
+        return EurocSequence(root, "")  # root IS the sequence directory
+    return KittiOdometrySequence(root, sequence or "00")

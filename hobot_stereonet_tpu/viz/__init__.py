@@ -1,1 +1,1 @@
-from . import colormap
+from . import colormap, server
