@@ -199,7 +199,8 @@ def cmd_slam(args) -> int:
         first = seq[0]
         eng = _build_engine(args, h=first.left.shape[0] // 16 * 16,
                             w=first.left.shape[1] // 16 * 16)
-        out = run_odometry_sequence(seq, engine=eng, max_frames=args.frames)
+        out = run_odometry_sequence(seq, engine=eng, max_frames=args.frames,
+                                    loop_closure=args.loop_closure)
         if "ate_m" in out:
             out["ate_m"] = round(out["ate_m"], 4)
         print(json.dumps(out))
@@ -228,6 +229,11 @@ def cmd_slam(args) -> int:
         out = slam.process(l, d)
         tracked += int(out["tracked"])
     slam.refine_window(window=4)
+    loops = 0
+    if args.loop_closure:
+        from .slam.pose_graph import close_loops
+
+        loops = int(close_loops(slam) is not None)
 
     est = np.stack(slam.state.trajectory)
     ate = absolute_trajectory_error(est, gt_centers)
@@ -239,6 +245,7 @@ def cmd_slam(args) -> int:
                 "tracked": tracked,
                 "keyframes": len(slam.state.keyframes),
                 "disparity_source": "gt" if args.gt_disparity else "network",
+                **({"loops_closed": loops} if args.loop_closure else {}),
             }
         )
     )
@@ -397,6 +404,9 @@ def main(argv=None) -> int:
                          "synthetic; layout auto-detected)")
     pv.add_argument("--sequence", default="00")
     pv.add_argument("--checkpoint", default=None)
+    pv.add_argument("--loop-closure", action="store_true",
+                    help="detect loop closures and optimize the keyframe "
+                         "pose graph")
     pv.set_defaults(fn=cmd_slam)
 
     pt = sub.add_parser("train", help="train on synthetic data")

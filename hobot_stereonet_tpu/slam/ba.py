@@ -136,6 +136,7 @@ class BAResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("camera", "iters"))
+@se3.f32_matmuls
 def bundle_adjust(
     problem: BAProblem,
     camera: CameraConfig,
@@ -179,6 +180,7 @@ def make_distributed_bundle_adjust(mesh, camera: CameraConfig, iters: int = 10,
 
     axis = "data"
 
+    @se3.f32_matmuls
     def local_ba(R0, t0, lm, obs, valid):
         def step(carry, _):
             R, t, lm = carry

@@ -17,6 +17,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from .se3 import f32_matmuls as _f32_matmuls
+
 
 class Keypoints(NamedTuple):
     xy: jnp.ndarray      # [K, 2] float32 (x, y) pixel coords
@@ -123,6 +125,7 @@ class Matches(NamedTuple):
 
 
 @jax.jit
+@_f32_matmuls
 def match(
     a: Keypoints, b: Keypoints, ratio: float = 0.9, min_sim: float = 0.5
 ) -> Matches:

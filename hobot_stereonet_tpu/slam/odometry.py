@@ -55,6 +55,7 @@ def _huber_weight(r2: jnp.ndarray, delta: float) -> jnp.ndarray:
     return jnp.where(r <= delta, 1.0, delta / r)
 
 
+@se3.f32_matmuls
 def pnp_gauss_newton(
     points_w: jnp.ndarray,
     obs_px: jnp.ndarray,
@@ -131,6 +132,7 @@ class TrackResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("camera", "num_hypotheses", "sample_size"))
+@se3.f32_matmuls
 def robust_pnp(
     key: jax.Array,
     points_w: jnp.ndarray,   # [K, 3] world points

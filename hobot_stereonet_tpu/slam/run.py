@@ -8,6 +8,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import CameraConfig, SLAMConfig
+from .pose_graph import close_loops
 from .tracker import StereoSLAM, absolute_trajectory_error
 
 
@@ -18,6 +19,8 @@ def run_odometry_sequence(
     max_frames: int = 0,
     ba_window: int = 4,
     num_keypoints: int = 512,
+    loop_closure: bool = False,
+    loop_every: int = 10,
 ) -> dict:
     """Run stereo VO over an odometry sequence (KITTI layout or anything
     exposing __len__/__getitem__ -> OdometryFrame and .camera/.gt_centers).
@@ -39,6 +42,7 @@ def run_odometry_sequence(
     slam = StereoSLAM(camera, slam_cfg, num_keypoints=num_keypoints)
 
     n = len(sequence) if max_frames == 0 else min(max_frames, len(sequence))
+    loops = 0
     for i in range(n):
         fr = sequence[i]
         if engine is not None:
@@ -48,6 +52,9 @@ def run_odometry_sequence(
         slam.process(fr.left, disp)
         if ba_window and len(slam.state.keyframes) >= 2 and (i + 1) % 5 == 0:
             slam.refine_window(window=ba_window)
+        if loop_closure and (i + 1) % loop_every == 0:
+            if close_loops(slam) is not None:
+                loops += 1
 
     est = np.stack(slam.state.trajectory)
     out = {
@@ -56,6 +63,8 @@ def run_odometry_sequence(
         "lost": slam.state.frames_lost,
         "keyframes": len(slam.state.keyframes),
     }
+    if loop_closure:
+        out["loops_closed"] = loops
     gt = sequence.gt_centers() if hasattr(sequence, "gt_centers") else None
     if gt is not None:
         gt = gt[:n]

@@ -26,8 +26,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped with a fixed seed: every test sees the same stream no
+    # matter which subset of the suite runs or in what order (a
+    # session-scoped stream makes numeric thresholds order-dependent).
     return np.random.default_rng(1234)
 
 
