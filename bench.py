@@ -39,10 +39,10 @@ def main() -> None:
     #    jitted nop costs 24.7 ms), so frames are batched per dispatch —
     #    the multi-stream serving generalization of the reference's
     #    4-in-flight async task pool — and dispatches are pipelined.
-    #    BATCH=32 keeps per-dispatch latency (~64 ms) under the ZED's 15 fps
-    #    frame period while amortizing the RPC floor; marginal compute is
-    #    ~1.2 ms/frame (measured sweep in scripts/profile_fps.py).
-    BATCH = 32
+    #    Throughput sweep (this rig): batch 32 -> 466 fps, 64 -> 662,
+    #    128 -> 844; marginal compute is ~1.2 ms/frame, so 128 amortizes
+    #    the RPC floor to ~3% while staying far below HBM capacity.
+    BATCH = 128
 
     @jax.jit
     def pipeline(params, sbs_frames):
