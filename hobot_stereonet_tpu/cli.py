@@ -49,15 +49,40 @@ def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None,
     return StereoEngine(cfg, params=params, keep_left=keep_left)
 
 
+def _read_any_image(path: str, nv12_height: int, nv12_width: int):
+    """Read PNG/JPEG via the dataset reader, or a raw .nv12 dump (the
+    reference's golden-replay input format, ``CvtNV12File2Tensors``
+    ``preprocess.cpp:1061-1103`` / ``RunBinFeedInfer``
+    ``stereonet_node.cpp:441-590``) converted on device to RGB."""
+    if not path.endswith(".nv12"):
+        from .data.sceneflow import _read_image
+
+        return _read_image(path)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops import colorspace as cs
+
+    raw = np.fromfile(path, dtype=np.uint8)
+    expect = nv12_height * nv12_width * 3 // 2
+    if raw.size != expect:
+        raise SystemExit(
+            f"{path}: {raw.size} bytes, expected {expect} for "
+            f"{nv12_width}x{nv12_height} NV12 (set --nv12-width/--nv12-height)"
+        )
+    yuv = cs.nv12_to_yuv444(jnp.asarray(raw), nv12_height, nv12_width)
+    rgb = jnp.clip(cs.yuv_to_rgb(yuv), 0.0, 255.0)
+    return np.asarray(rgb).astype(np.uint8)
+
+
 def cmd_infer(args) -> int:
     import numpy as np
 
-    from .data.sceneflow import _read_image
     from .ops import disparity as dp
     from .viz import colormap as cm
 
-    left = _read_image(args.left)
-    right = _read_image(args.right)
+    left = _read_any_image(args.left, args.nv12_height, args.nv12_width)
+    right = _read_any_image(args.right, args.nv12_height, args.nv12_width)
     h, w = left.shape[:2]
     # Pad to stride multiple.
     from .data.loader import pad_to_multiple
@@ -362,7 +387,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="stereod", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pi = sub.add_parser("infer", help="single stereo pair -> disparity")
+    pi = sub.add_parser("infer", help="single stereo pair -> disparity "
+                                      "(PNG/JPEG or raw .nv12 dumps)")
+    pi.add_argument("--nv12-width", type=int, default=1280,
+                    help="frame width for raw .nv12 inputs")
+    pi.add_argument("--nv12-height", type=int, default=720,
+                    help="frame height for raw .nv12 inputs")
     pi.add_argument("--left", required=True)
     pi.add_argument("--right", required=True)
     pi.add_argument("--out", default=None, help="composite PNG path")

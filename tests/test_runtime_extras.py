@@ -212,3 +212,30 @@ def test_stage_timer():
     assert s["a"]["count"] == 2 and s["a"]["total_ms"] >= 10
     with device_trace(None):
         pass  # no-op path
+
+
+def test_cli_infer_nv12_files(tmp_path, capsys, rng):
+    """Raw .nv12 replay path (reference RunBinFeedInfer analog)."""
+    import jax.numpy as jnp
+
+    from hobot_stereonet_tpu.cli import main
+    from hobot_stereonet_tpu.ops import colorspace as cs
+
+    h, w = 64, 128
+    l = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    r = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    lp, rp = str(tmp_path / "l.nv12"), str(tmp_path / "r.nv12")
+    np.asarray(cs.bgr_to_nv12(jnp.asarray(l[..., ::-1]))).astype(np.uint8).tofile(lp)
+    np.asarray(cs.bgr_to_nv12(jnp.asarray(r[..., ::-1]))).astype(np.uint8).tofile(rp)
+    rc = main(["infer", "--left", lp, "--right", rp,
+               "--nv12-width", str(w), "--nv12-height", str(h)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["shape"] == [h, w]
+
+    # Wrong geometry must fail loudly, not silently misparse.
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["infer", "--left", lp, "--right", rp,
+              "--nv12-width", "640", "--nv12-height", "480"])
