@@ -285,6 +285,9 @@ def cmd_train(args) -> int:
         batch_size=args.batch,
         checkpoint_dir=args.checkpoint,
         log_every=args.log_every,
+        lr=args.lr,
+        seed=args.seed,
+        resume_from=args.resume,
     )
     print(json.dumps(metrics))
     return 0
@@ -444,6 +447,10 @@ def main(argv=None) -> int:
     pt.add_argument("--batch", type=int, default=4)
     pt.add_argument("--checkpoint", default=None)
     pt.add_argument("--log-every", type=int, default=20)
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--resume", default=None,
+                    help="checkpoint dir to continue training from")
     pt.set_defaults(fn=cmd_train)
 
     pd = sub.add_parser("dump", help="golden-tensor dump of one pair")

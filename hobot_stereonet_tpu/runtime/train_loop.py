@@ -25,6 +25,7 @@ def train_synthetic(
     model=None,
     dataset=None,
     eval_every: int = 0,
+    resume_from: Optional[str] = None,
 ) -> Dict:
     """Train FastStereoNet on procedural scenes; returns final metrics."""
     import jax
@@ -54,6 +55,11 @@ def train_synthetic(
     state = training.create_train_state(
         model, jax.random.PRNGKey(seed), optimizer, sample, sample
     )
+    if resume_from:
+        # Continuation run: restore params, keep a fresh optimizer/schedule
+        # (the saved opt_state belongs to the previous run's schedule).
+        params = ckpt.load_params(resume_from, like=state.params)
+        state = training.TrainState(params, state.opt_state, state.step)
     step_fn = jax.jit(training.make_train_step(model, optimizer,
                                                max_disparity=cfg.max_disparity))
 

@@ -92,3 +92,25 @@ def test_sharded_train_step(eight_devices, rng):
         float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
     )
     assert int(state.step) == 1
+
+
+def test_train_resume_roundtrip(tmp_path):
+    """Continuation training restores params from a prior checkpoint."""
+    import numpy as np
+
+    from hobot_stereonet_tpu.runtime.train_loop import train_synthetic
+
+    ck1 = str(tmp_path / "ck1")
+    m1 = train_synthetic(steps=2, batch_size=1, checkpoint_dir=ck1, log_every=0)
+    ck2 = str(tmp_path / "ck2")
+    m2 = train_synthetic(steps=2, batch_size=1, checkpoint_dir=ck2,
+                         log_every=0, resume_from=ck1, seed=7)
+    assert np.isfinite(m2["final_loss"])
+
+    # Structure mismatch must fail loudly.
+    import pytest
+
+    from hobot_stereonet_tpu.runtime import checkpoint as ckpt
+
+    with pytest.raises(ValueError):
+        ckpt.load_params(ck1, like={"not": {"the": "structure"}})
