@@ -99,15 +99,24 @@ class BatchIterator:
 
 class SyntheticStereoDataset:
     """Adapter: procedural generator -> indexable dataset (deterministic per
-    index, so eval sets are reproducible)."""
+    index, so eval sets are reproducible).
 
-    def __init__(self, size: int = 1000, seed: int = 0, **cfg_kwargs):
+    Rendered scenes are memoized (``cache_items``): training epochs revisit
+    every index, and re-rendering dominated the train loop's wall-clock
+    (the TPU step is ~ms; a scene render is ~100x that).  Memory bound:
+    512 scenes at 512x1024 = ~2.4 GB, fine on a TPU host.
+    """
+
+    def __init__(self, size: int = 1000, seed: int = 0,
+                 cache_items: int = 1024, **cfg_kwargs):
         from .synthetic import SyntheticConfig, generate_pair
 
         self._gen = generate_pair
         self._cfg = SyntheticConfig(**cfg_kwargs)
         self._seed = seed
         self._size = size
+        self._cache_items = cache_items
+        self._cache: dict = {}
 
     def __len__(self) -> int:
         return self._size
@@ -115,6 +124,12 @@ class SyntheticStereoDataset:
     def __getitem__(self, i: int):
         from .sceneflow import StereoSample
 
+        hit = self._cache.get(i)
+        if hit is not None:
+            return hit
         rng = np.random.default_rng(self._seed * 1_000_003 + i)
         l, r, d = self._gen(rng, self._cfg)
-        return StereoSample(l, r, d, name=f"synthetic/{i}")
+        s = StereoSample(l, r, d, name=f"synthetic/{i}")
+        if len(self._cache) < self._cache_items:
+            self._cache[i] = s
+        return s

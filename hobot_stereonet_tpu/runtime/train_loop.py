@@ -26,6 +26,7 @@ def train_synthetic(
     dataset=None,
     eval_every: int = 0,
     resume_from: Optional[str] = None,
+    save_every: int = 500,
 ) -> Dict:
     """Train FastStereoNet on procedural scenes; returns final metrics."""
     import jax
@@ -76,6 +77,11 @@ def train_synthetic(
             epe = float(metrics["epe"])
             history.append({"step": i + 1, "loss": loss, "epe": epe})
             print(f"step {i+1}/{steps} loss={loss:.4f} epe={epe:.3f}px", flush=True)
+        if checkpoint_dir and save_every and (i + 1) % save_every == 0 \
+                and (i + 1) < steps:
+            # Periodic snapshot: a bounded/killed run still leaves a usable
+            # checkpoint (SURVEY.md §5 failure-recovery plan).
+            ckpt.save_train_state(checkpoint_dir, state)
     dt = time.perf_counter() - t0
 
     if checkpoint_dir:
