@@ -1,80 +1,83 @@
-"""Headline benchmark: stereo frames/sec/chip at 1280x720.
+"""Headline benchmark: stereo frames/sec/chip at 1280x720, THROUGH the
+serving engine (StereoEngine feed -> micro-batched dispatch -> results).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 15 fps (ZED 2i real-time, the reference's live camera rate —
 BASELINE.md north star: >=10x => >=150 fps/chip).
 
-Runs the streaming-flagship model (FastStereoNet, bf16) end to end: fused
-NV12 preprocess + network forward, steady-state, donated I/O.
+Methodology (measured constraints of this rig, see CLAUDE.md):
+  * the RPC tunnel adds a ~25 ms floor per dispatch: the engine's adaptive
+    micro-batching (EngineConfig.max_batch) amortizes it — the serving
+    generalization of the reference's 4-in-flight BPU task pool
+    (stereonet_node.cpp:144);
+  * host<->device over the tunnel moves ~11 MB/s, so frames are pre-staged
+    device buffers (data.stream.DeviceFrameRing — the hbmem zero-copy
+    camera-transport analog, stereonet_node.h:95-97) and results stay
+    device-resident for device-side consumers (EngineConfig.fetch_results
+    =False; completion is confirmed by a scalar probe per batch).  On a
+    directly-attached TPU host both transfers ride PCIe/DMA and neither
+    staging trick is load-bearing.
+  * this is the max-throughput (offline/batch) regime.  The streaming
+    regime (camera-paced, batch ~32 to stay under a 66 ms frame budget)
+    measures lower — see README's two-regime table.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
-
-import numpy as np
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
+    from hobot_stereonet_tpu.config import Config, EngineConfig
+    from hobot_stereonet_tpu.data.stream import DeviceFrameRing
+    from hobot_stereonet_tpu.runtime.engine import StereoEngine
 
-    from hobot_stereonet_tpu.config import Config
-    from hobot_stereonet_tpu.models import FastStereoNet
-    from hobot_stereonet_tpu.ops import preprocess as pp
-
-    cfg = Config()
-    H, W = cfg.camera.height, cfg.camera.width
-    model = FastStereoNet(cfg.model)
-
-    rng = np.random.default_rng(0)
-    sbs = jnp.asarray(rng.integers(0, 256, size=(H * 2 * W * 3 // 2,), dtype=np.uint8))
-
-    # Methodology notes:
-    #  * Through the remote-execution tunnel ``block_until_ready`` can
-    #    return before device work completes, so we force a true sync by
-    #    fetching a scalar reduction of the output per dispatch.
-    #  * The tunnel adds a ~25 ms RPC floor per dispatch (measured: an empty
-    #    jitted nop costs 24.7 ms), so frames are batched per dispatch —
-    #    the multi-stream serving generalization of the reference's
-    #    4-in-flight async task pool — and dispatches are pipelined.
-    #    Throughput sweep (this rig): batch 32 -> 466 fps, 64 -> 662,
-    #    128 -> 844; marginal compute is ~1.2 ms/frame, so 128 amortizes
-    #    the RPC floor to ~3% while staying far below HBM capacity.
     BATCH = 128
+    N_FRAMES = BATCH * 12
 
-    @jax.jit
-    def pipeline(params, sbs_frames):
-        x = jax.vmap(lambda f: pp.nv12_ingest(f, H, 2 * W)[0])(sbs_frames)
-        left, right = pp.split_model_input(x)
-        disp = model.apply(params, left, right)["disparity"]
-        return disp, jnp.mean(disp)
-
-    dummy = jnp.zeros((1, H, W, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
-
-    # Two pre-staged device buffers (alternated so no dispatch reuses the
-    # previous one's input): staging is one-time setup; the tunnel's
-    # host->device path is not what this measures.
-    batches = [
-        jnp.asarray(
-            rng.integers(0, 256, size=(BATCH, H * 2 * W * 3 // 2), dtype=np.uint8)
+    cfg = Config(
+        engine=EngineConfig(
+            max_batch=BATCH,
+            batch_buckets=(1, BATCH),
+            feed_queue_depth=N_FRAMES,
+            drop_on_full=False,
+            inflight=4,
+            fetch_results=False,  # device-side consumers; see module doc
         )
-        for _ in range(2)
-    ]
-    jax.block_until_ready(batches)
+    )
+    eng = StereoEngine(cfg, compute_depth=False)
+    eng.warmup(buckets=[BATCH])
 
-    # Warmup / compile.
-    float(pipeline(params, batches[0])[1])
+    ring = DeviceFrameRing(
+        height=cfg.camera.height, width=cfg.camera.width, ring_size=4
+    )
+    frames = list(ring.frames(N_FRAMES))
 
-    iters = 12
+    # Pre-fill the feed queue so the dispatcher sees a sustained backlog
+    # (steady-state serving), then time feed->completion of all frames.
+    for f in frames:
+        eng.feed(f)
     t0 = time.perf_counter()
-    outs = [pipeline(params, batches[i % len(batches)])[1] for i in range(iters)]
-    _ = [float(o) for o in outs]  # true sync: scalar fetch per dispatch
-    dt = (time.perf_counter() - t0) / (iters * BATCH)
+    eng.start(warmup=False)
+    eng.drain()
+    dt = time.perf_counter() - t0
+    eng.stop()
 
-    fps = 1.0 / dt
+    snap = eng.metrics.snapshot()
+    assert snap["frames_out"] == N_FRAMES, snap
+    assert snap["dispatch_batch"]["mean"] > 1, (
+        "micro-batching inactive: " + json.dumps(snap["dispatch_batch"])
+    )
+    print(
+        f"engine: {snap['frames_out']} frames, "
+        f"mean dispatch batch {snap['dispatch_batch']['mean']:.1f}, "
+        f"infer latency {snap['infer_latency']['mean_ms']:.1f} ms/batch",
+        file=sys.stderr,
+    )
+
+    fps = N_FRAMES / dt
     baseline_fps = 15.0
     print(
         json.dumps(

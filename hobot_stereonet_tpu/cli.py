@@ -19,34 +19,54 @@ import sys
 from typing import Optional
 
 
+def _make_config(args, h: Optional[int] = None, w: Optional[int] = None):
+    """Config resolution: --config JSON (Config.from_json) if given, else
+    defaults; optional camera-geometry override."""
+    import dataclasses
+
+    from .config import Config
+
+    cfg = (
+        Config.from_json(args.config)
+        if getattr(args, "config", None)
+        else Config()
+    )
+    if h is not None:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(cfg.camera, width=w, height=h)
+        )
+    return cfg
+
+
+def _make_model(cfg, args):
+    """--model classic|fast (default fast, the streaming flagship)."""
+    name = getattr(args, "model", None) or "fast"
+    if name == "classic":
+        from .models import StereoNet
+
+        return StereoNet(cfg.model)
+    from .models import FastStereoNet
+
+    return FastStereoNet(cfg.model)
+
+
 def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None,
                   keep_left: bool = False):
-    from .config import CameraConfig, Config
     from .runtime.engine import StereoEngine
 
-    cfg = Config()
-    if h is not None:
-        cfg = Config(
-            camera=CameraConfig(width=w, height=h),
-            model=cfg.model,
-            preprocess=cfg.preprocess,
-            mesh=cfg.mesh,
-            engine=cfg.engine,
-            slam=cfg.slam,
-        )
+    cfg = _make_config(args, h, w)
+    model = _make_model(cfg, args)
     params = None
     if getattr(args, "checkpoint", None):
-        from .models import FastStereoNet
         from .runtime import checkpoint as ckpt
 
         import jax
         import jax.numpy as jnp
 
-        model = FastStereoNet(cfg.model)
         dummy = jnp.zeros((1, cfg.camera.height, cfg.camera.width, 3), jnp.float32)
         like = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
         params = ckpt.load_params(args.checkpoint, like=like)
-    return StereoEngine(cfg, params=params, keep_left=keep_left)
+    return StereoEngine(cfg, model=model, params=params, keep_left=keep_left)
 
 
 def _read_any_image(path: str, nv12_height: int, nv12_width: int):
@@ -179,7 +199,14 @@ def cmd_eval(args) -> int:
     if args.dataset == "synthetic":
         from .data.loader import SyntheticStereoDataset
 
-        ds = SyntheticStereoDataset(size=args.frames or 16, height=256, width=512)
+        ds = SyntheticStereoDataset(size=args.frames or 16, height=256, width=512,
+                                    seed=args.eval_seed)
+    elif args.dataset == "layered":
+        # Cross-distribution family (fronto-parallel worlds) — different
+        # generator from the slanted-field training distribution.
+        from .data.loader import LayeredSceneDataset
+
+        ds = LayeredSceneDataset(size=args.frames or 16)
     elif args.dataset == "sceneflow":
         from .data.sceneflow import SceneFlowDataset
 
@@ -280,6 +307,7 @@ def cmd_slam(args) -> int:
 def cmd_train(args) -> int:
     from .runtime.train_loop import train_synthetic
 
+    cfg = _make_config(args)
     metrics = train_synthetic(
         steps=args.steps,
         batch_size=args.batch,
@@ -288,6 +316,8 @@ def cmd_train(args) -> int:
         lr=args.lr,
         seed=args.seed,
         resume_from=args.resume,
+        model=_make_model(cfg, args),
+        model_cfg=cfg.model,
     )
     print(json.dumps(metrics))
     return 0
@@ -390,6 +420,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="stereod", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def common(sp):
+        sp.add_argument("--config", default=None, metavar="JSON",
+                        help="load a full Config from JSON (Config.from_json)")
+        sp.add_argument("--model", default="fast", choices=["fast", "classic"],
+                        help="network variant: fast (streaming flagship) or "
+                             "classic (StereoNet-paper 3D-conv build)")
+
     pi = sub.add_parser("infer", help="single stereo pair -> disparity "
                                       "(PNG/JPEG or raw .nv12 dumps)")
     pi.add_argument("--nv12-width", type=int, default=1280,
@@ -400,6 +437,7 @@ def main(argv=None) -> int:
     pi.add_argument("--right", required=True)
     pi.add_argument("--out", default=None, help="composite PNG path")
     pi.add_argument("--checkpoint", default=None)
+    common(pi)
     pi.set_defaults(fn=cmd_infer)
 
     ps = sub.add_parser("stream", help="live-stream emulation")
@@ -412,14 +450,18 @@ def main(argv=None) -> int:
     ps.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="serve a live MJPEG browser view (left|depth "
                          "composite) on this port")
+    common(ps)
     ps.set_defaults(fn=cmd_stream)
 
     pe = sub.add_parser("eval", help="dataset EPE/D1 evaluation")
     pe.add_argument("--dataset", default="synthetic",
-                    choices=["synthetic", "sceneflow", "kitti"])
+                    choices=["synthetic", "layered", "sceneflow", "kitti"])
     pe.add_argument("--root", default=None)
     pe.add_argument("--frames", type=int, default=0)
+    pe.add_argument("--eval-seed", type=int, default=777,
+                    help="synthetic eval-set seed (disjoint from train seeds)")
     pe.add_argument("--checkpoint", default=None)
+    common(pe)
     pe.set_defaults(fn=cmd_eval)
 
     pb = sub.add_parser("bench", help="headline throughput bench")
@@ -440,6 +482,7 @@ def main(argv=None) -> int:
     pv.add_argument("--loop-closure", action="store_true",
                     help="detect loop closures and optimize the keyframe "
                          "pose graph")
+    common(pv)
     pv.set_defaults(fn=cmd_slam)
 
     pt = sub.add_parser("train", help="train on synthetic data")
@@ -451,6 +494,7 @@ def main(argv=None) -> int:
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--resume", default=None,
                     help="checkpoint dir to continue training from")
+    common(pt)
     pt.set_defaults(fn=cmd_train)
 
     pd = sub.add_parser("dump", help="golden-tensor dump of one pair")
@@ -458,6 +502,7 @@ def main(argv=None) -> int:
     pd.add_argument("--right", required=True)
     pd.add_argument("--out", required=True)
     pd.add_argument("--checkpoint", default=None)
+    common(pd)
     pd.set_defaults(fn=cmd_dump)
 
     pc = sub.add_parser("compare", help="diff two golden dumps")

@@ -150,6 +150,14 @@ class PreprocessConfig:
     # parity testing.
     color_space: str = "rgb"
 
+    def __post_init__(self):
+        # A typo like "rbg" would otherwise silently flip the model input
+        # distribution to YUV (everything != "rgb" used to mean YUV).
+        if self.color_space not in ("rgb", "yuv"):
+            raise ValueError(
+                f"color_space must be 'rgb' or 'yuv', got {self.color_space!r}"
+            )
+
 
 # ---------------------------------------------------------------------------
 # Parallelism / mesh
@@ -188,13 +196,41 @@ class EngineConfig:
 
     ``inflight`` generalizes the reference's async BPU task pool
     (``task_num = 4`` at ``stereonet_node.cpp:144``) to N in-flight device
-    batches via JAX async dispatch.
+    batches via JAX async dispatch.  ``max_batch``/``batch_buckets`` add
+    adaptive micro-batching: the dispatch thread drains up to ``max_batch``
+    queued frames into ONE device call (padded to the nearest bucket so jit
+    compiles a handful of static shapes) — the throughput lever that
+    amortizes the per-dispatch RPC/launch floor over many frames.
     """
 
     inflight: int = 4
-    # Host-side feed queue capacity (frames).
-    feed_queue_depth: int = 8
+    # Host-side feed queue capacity (frames).  Must comfortably exceed
+    # max_batch or the dispatcher can never assemble a full batch.
+    feed_queue_depth: int = 64
     drop_on_full: bool = True  # reference drops bad/late frames, we do too
+    # Adaptive micro-batching: drain up to max_batch frames per dispatch,
+    # padding to the smallest bucket >= n (static jit shapes).
+    max_batch: int = 32
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    # Diagnostic: time preprocess and network stages separately (forces a
+    # device sync per stage — the reference's rt_stat preprocess/infer
+    # split, ``stereonet_node.cpp:1078-1084``).  Off in production: the
+    # fused async pipeline is faster than anything measurable per-stage.
+    stage_timing: bool = False
+    # True (default): results land on the host as numpy (the reference
+    # publishes raw tensors to downstream processes).  False: results stay
+    # device-resident (StereoResult.disparity is a jax.Array view) for
+    # device-side consumers (e.g. the SLAM front end) — the fetch thread
+    # confirms completion with a scalar probe instead of a full transfer.
+    fetch_results: bool = True
+
+    def __post_init__(self):
+        buckets = tuple(sorted(set(self.batch_buckets) | {1}))
+        object.__setattr__(self, "batch_buckets", buckets)
+        if self.max_batch not in buckets:
+            raise ValueError(
+                f"max_batch={self.max_batch} must be one of batch_buckets={buckets}"
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,81 @@ class SyntheticStreamSource:
             i += 1
 
 
+class RingSlot:
+    """One frame's slot in a :class:`DeviceFrameRing`: a handle, not a
+    copy.  Duck-types enough of the ndarray interface (dtype/size/shape/
+    __array__) for engine feed validation and host-side consumers; the
+    engine's batch assembly recognizes slots of a common ring and gathers
+    them with ONE device op."""
+
+    __slots__ = ("ring", "slot")
+
+    def __init__(self, ring: "DeviceFrameRing", slot: int):
+        self.ring = ring
+        self.slot = slot
+
+    @property
+    def dtype(self):
+        return self.ring.data.dtype
+
+    @property
+    def size(self) -> int:
+        return self.ring.data.shape[1]
+
+    @property
+    def shape(self):
+        return self.ring.data.shape[1:]
+
+    def device_array(self):
+        return self.ring.data[self.slot]
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self.ring.data[self.slot])
+        return out.astype(dtype) if dtype is not None else out
+
+
+class DeviceFrameRing:
+    """Pre-staged device-resident NV12 frame ring — the TPU analog of the
+    reference's hbmem zero-copy camera transport (``stereonet_node.h:95-97``):
+    the capture side writes frames into device-visible memory (here: one
+    [ring_size, frame_len] device array, staged once); consumers pass slot
+    handles around and the hot path never copies a frame buffer.
+
+    On this rig the tunnel's host->device path moves ~11 MB/s, so per-frame
+    ``device_put`` would throttle any throughput measurement to single-digit
+    fps; on a real TPU host the same pattern is simply how a DMA'd camera
+    pipeline works.  ``frames(n)`` yields n Frames cycling through the ring
+    slots (distinct slots, so no dispatch reuses its predecessor's input)."""
+
+    def __init__(self, height: int = 720, width: int = 1280,
+                 ring_size: int = 4, seed: int = 0,
+                 with_gt: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from .synthetic import SyntheticConfig, generate_pair
+
+        cfg = SyntheticConfig(height=height, width=width)
+        self.height, self.width = height, width
+        self._gt: List[Optional[np.ndarray]] = []
+        bufs = []
+        for i in range(ring_size):
+            rng = np.random.default_rng(seed * 9_000_011 + i)
+            l, r, d = generate_pair(rng, cfg)
+            bufs.append(rgb_pair_to_sbs_nv12(l, r))
+            self._gt.append(d if with_gt else None)
+        self.data = jnp.asarray(np.stack(bufs))  # [R, L] uint8, staged once
+        jax.block_until_ready(self.data)
+
+    def frames(self, n: int) -> Iterator[Frame]:
+        k = self.data.shape[0]
+        for i in range(n):
+            yield Frame(
+                time.monotonic(), RingSlot(self, i % k), self.height,
+                2 * self.width, self._gt[i % k], i,
+            )
+
+
 class ImageListStreamSource:
     """Replay of (left, right) image-file pairs at a fixed pace — the
     reference's image-list feedback mode, minus the 300 ms hard-coding."""

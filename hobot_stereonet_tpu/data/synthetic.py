@@ -2,11 +2,18 @@
 
 The environment has no SceneFlow/KITTI data (zero egress), and the reference
 itself ships only two fixture JPEGs (``preprocess.h:45-48``).  This module
-generates layered fronto-parallel scenes — textured background plane plus
-textured rectangles at nearer depths — and renders the right view by
-compositing each layer shifted LEFT by its disparity (back-to-front), which
-yields pixel-exact GT disparity with physically correct occlusion: exactly
-what's needed to train and to regression-test EPE end to end.
+generates layered scenes — a background surface plus textured rectangles at
+nearer depths — and renders the right view by inverse-warping each layer
+through its analytic disparity field (back-to-front compositing), which
+yields (sub)pixel-exact GT disparity with physically correct occlusion:
+exactly what's needed to train and to regression-test EPE end to end.
+
+v2 hardening (round-2: break the "every surface is fronto-parallel"
+circularity): each layer carries a *disparity field* — plane slant
+(d/dx, d/dy gradients) plus a sinusoidal curvature term — so disparity
+varies per pixel within a surface; layers can be near-textureless; and the
+right eye gets photometric asymmetry (gain/bias/vignette), all of which
+real rigs exhibit and fronto-parallel constant-shift scenes never do.
 """
 
 from __future__ import annotations
@@ -26,6 +33,22 @@ class SyntheticConfig:
     max_disparity: float = 48.0
     texture_scales: Tuple[int, ...] = (4, 8, 16, 32)
     noise_std: float = 2.0  # sensor noise (uint8 counts)
+    # --- v2 scene hardening ------------------------------------------------
+    # Max |∂d/∂x|, |∂d/∂y| of a layer's disparity plane (px/px).  Slanted
+    # surfaces make per-pixel-varying disparity the norm, not the exception.
+    max_slant: float = 0.12
+    # Amplitude (px) of the sinusoidal curvature term added to layer planes.
+    curvature_amp: float = 1.5
+    # Probability that a foreground layer is near-textureless (flat color),
+    # forcing the network to interpolate from context like real walls/sky.
+    textureless_prob: float = 0.2
+    # Per-eye photometric asymmetry: right-eye gain in [1-g, 1+g], bias in
+    # [-b, b] counts, plus a random vignette — exposure/optics never match
+    # exactly between real cameras.  Set False for parity/debug scenes.
+    photometric_asymmetry: bool = True
+    gain_range: float = 0.10
+    bias_range: float = 8.0
+    vignette_max: float = 0.15
 
 
 def _texture(rng: np.random.Generator, h: int, w: int, scales) -> np.ndarray:
@@ -41,6 +64,66 @@ def _texture(rng: np.random.Generator, h: int, w: int, scales) -> np.ndarray:
     return img * 255.0
 
 
+class _DispField:
+    """Analytic per-layer disparity d(x, y): plane + sinusoidal curvature,
+    clipped to the config's disparity range.  Analytic (not rasterized) so
+    the right-view inverse warp can evaluate it at fractional coordinates
+    with zero interpolation error."""
+
+    def __init__(self, rng: np.random.Generator, cfg: SyntheticConfig,
+                 d0: float):
+        self.d0 = d0
+        self.gx = float(rng.uniform(-cfg.max_slant, cfg.max_slant))
+        self.gy = float(rng.uniform(-cfg.max_slant, cfg.max_slant))
+        self.cx = float(rng.uniform(0, cfg.width))
+        self.cy = float(rng.uniform(0, cfg.height))
+        amp = float(rng.uniform(0, cfg.curvature_amp))
+        # Keep total |dd/dx| < 0.5 so the fixed-point inverse warp converges
+        # fast and layers never self-occlude.
+        wavelength = float(rng.uniform(cfg.width / 3, cfg.width))
+        k = 2 * np.pi / wavelength
+        if amp * k > 0.25:
+            amp = 0.25 / k
+        self.amp, self.k = amp, k
+        self.phx = float(rng.uniform(0, 2 * np.pi))
+        self.phy = float(rng.uniform(0, 2 * np.pi))
+        self.lo = cfg.min_disparity
+        self.hi = cfg.max_disparity
+
+    def __call__(self, x, y):
+        d = (
+            self.d0
+            + self.gx * (x - self.cx)
+            + self.gy * (y - self.cy)
+            + self.amp * np.sin(self.k * x + self.phx) * np.sin(self.k * y + self.phy)
+        )
+        return np.clip(d, self.lo, self.hi).astype(np.float32)
+
+
+def _layer_texture(rng: np.random.Generator, h: int, w: int,
+                   cfg: SyntheticConfig, allow_textureless: bool) -> np.ndarray:
+    if allow_textureless and rng.random() < cfg.textureless_prob:
+        color = rng.uniform(40, 215, size=(1, 1, 3))
+        return (color + rng.normal(0, 1.0, (h, w, 3))).astype(np.float32)
+    return _texture(rng, h, w, cfg.texture_scales)
+
+
+def _sample_row_bilinear(canvas: np.ndarray, mask: np.ndarray,
+                         xmap: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-pixel horizontal resample: out[y, x] = canvas[y, xmap[y, x]] with
+    bilinear interpolation along x (rows are axis-aligned — rectified stereo
+    has no vertical parallax).  Mask is AND-ed over both taps."""
+    h, W = canvas.shape[:2]
+    x0 = np.floor(xmap).astype(np.int64)
+    frac = (xmap - x0)[..., None]
+    inb = (x0 >= 0) & (x0 + 1 < W)
+    x0c = np.clip(x0, 0, W - 2)
+    rows = np.arange(h)[:, None]
+    out = canvas[rows, x0c] * (1 - frac) + canvas[rows, x0c + 1] * frac
+    m = inb & mask[rows, x0c] & mask[rows, x0c + 1]
+    return out.astype(np.float32), m
+
+
 def generate_pair(
     rng: np.random.Generator, cfg: SyntheticConfig = SyntheticConfig()
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -49,68 +132,91 @@ def generate_pair(
     Disparity is defined on the left image; occluded-in-right regions keep
     their left-layer disparity (standard GT convention — SceneFlow GT is
     also defined on the left view including occlusions).
+
+    Geometry: each layer is a textured surface with analytic disparity field
+    D(x, y).  Left view samples the layer canvas at integer x (crisp); the
+    right view at column x_r shows the layer point x_l solving
+    x_l - D(x_l, y) = x_r, found by fixed-point iteration (converges since
+    |dD/dx| < 0.5 by construction).  Compositing far-to-near gives correct
+    occlusion in both views.
     """
     h, w = cfg.height, cfg.width
+    pad = int(np.ceil(cfg.max_disparity)) + 4  # canvas margin for the warp
 
-    # Background layer: farthest (smallest disparity).
-    bg_disp = float(rng.uniform(cfg.min_disparity, cfg.min_disparity + 4.0))
-    # Pad background texture on the right so the right view's shift has data.
-    pad = int(np.ceil(cfg.max_disparity)) + 1
-    bg_tex = _texture(rng, h, w + pad, cfg.texture_scales)
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    xs2 = np.broadcast_to(xs, (h, w))
+    ys2 = np.broadcast_to(ys, (h, w))
 
-    left = bg_tex[:, :w].copy()
-    # right view of a layer with disparity d: right[x] = layer[x + d]
-    right = _sample_shift(bg_tex, bg_disp)[:, :w]
-    disp = np.full((h, w), bg_disp, np.float32)
+    # --- build layers far -> near (sorted by nominal disparity d0) --------
+    layers = []  # (canvas [h, w+2*pad, 3], mask, field)
+    bg_d0 = float(rng.uniform(cfg.min_disparity, cfg.min_disparity + 4.0))
+    bg_field = _DispField(rng, cfg, bg_d0)
+    bg_canvas = _texture(rng, h, w + 2 * pad, cfg.texture_scales)
+    # Matte patch: blend a random background region toward its mean color —
+    # a low-texture area (wall/sky analog) the matcher can't lock onto.
+    if rng.random() < 0.5:
+        mh = int(rng.integers(h // 6, h // 2))
+        mw = int(rng.integers(w // 6, w // 2))
+        my = int(rng.integers(0, h - mh + 1))
+        mx = int(rng.integers(0, bg_canvas.shape[1] - mw + 1))
+        region = bg_canvas[my : my + mh, mx : mx + mw]
+        region[:] = 0.15 * region + 0.85 * region.mean(axis=(0, 1), keepdims=True)
+    layers.append((bg_canvas, np.ones((h, w + 2 * pad), bool), bg_field))
 
-    # Foreground layers, far to near.
-    disps = np.sort(
-        rng.uniform(cfg.min_disparity + 4.0, cfg.max_disparity, size=cfg.num_layers)
+    d0s = np.sort(
+        rng.uniform(cfg.min_disparity + 4.0, cfg.max_disparity - cfg.curvature_amp,
+                    size=cfg.num_layers)
     )
-    for d in disps:
+    for d0 in d0s:
         lw = int(rng.integers(w // 8, w // 2))
         lh = int(rng.integers(h // 8, h // 2))
         x0 = int(rng.integers(0, w - 8))
         y0 = int(rng.integers(0, h - 8))
-        tex = _texture(rng, lh, lw + pad, cfg.texture_scales)
+        x1, y1 = min(x0 + lw, w), min(y0 + lh, h)
+        canvas = np.zeros((h, w + 2 * pad, 3), np.float32)
+        mask = np.zeros((h, w + 2 * pad), bool)
+        canvas[y0:y1, pad + x0 : pad + x1] = _layer_texture(
+            rng, y1 - y0, x1 - x0, cfg, allow_textureless=True
+        )
+        mask[y0:y1, pad + x0 : pad + x1] = True
+        layers.append((canvas, mask, _DispField(rng, cfg, float(d0))))
 
-        # Left view: place rect at (y0, x0).
-        x1 = min(x0 + lw, w)
-        y1 = min(y0 + lh, h)
-        left[y0:y1, x0:x1] = tex[: y1 - y0, : x1 - x0]
-        disp[y0:y1, x0:x1] = d
+    # --- composite both views far -> near ---------------------------------
+    left = np.zeros((h, w, 3), np.float32)
+    right = np.zeros((h, w, 3), np.float32)
+    disp = np.zeros((h, w), np.float32)
+    for canvas, mask, field in layers:
+        # Left view: integer sampling at canvas x + pad.
+        lm = mask[:, pad : pad + w]
+        lt = canvas[:, pad : pad + w]
+        d_here = field(xs2, ys2)
+        left = np.where(lm[..., None], lt, left)
+        disp = np.where(lm, d_here, disp)
+        # Right view: solve x_l = x_r + D(x_l, y) by fixed point.
+        xl = xs2 + d_here
+        for _ in range(3):
+            xl = xs2 + field(xl, ys2)
+        rt, rm = _sample_row_bilinear(canvas, mask, xl + pad)
+        right = np.where(rm[..., None], rt, right)
 
-        # Right view: the same rect appears shifted left by d.  With the
-        # rect spanning left columns [x0, x0+lw), right[x] = tex[x - x0 + d],
-        # so placing at integer start xr0 = ceil(x0 - d) samples tex at the
-        # fractional offset frac = xr0 - (x0 - d) in [0, 1).
-        rx0 = x0 - d
-        xr0 = int(np.ceil(rx0))
-        frac = xr0 - rx0
-        tex_rs = _sample_shift(tex, frac)
-        rx1 = min(xr0 + lw, w)
-        if rx1 > 0:
-            cs = max(0, -xr0)
-            right[y0:y1, max(xr0, 0) : rx1] = tex_rs[: y1 - y0, cs : cs + rx1 - max(xr0, 0)]
+    # --- photometric asymmetry (right eye) ---------------------------------
+    if cfg.photometric_asymmetry:
+        gain = 1.0 + float(rng.uniform(-cfg.gain_range, cfg.gain_range))
+        bias = float(rng.uniform(-cfg.bias_range, cfg.bias_range))
+        right = right * gain + bias
+        vstr = float(rng.uniform(0, cfg.vignette_max))
+        if vstr > 0:
+            r2 = ((ys2 - h / 2) / (h / 2)) ** 2 + ((xs2 - w / 2) / (w / 2)) ** 2
+            right = right * (1.0 - vstr * r2 / 2.0)[..., None]
 
     if cfg.noise_std > 0:
-        left += rng.normal(0, cfg.noise_std, left.shape)
-        right += rng.normal(0, cfg.noise_std, right.shape)
+        left = left + rng.normal(0, cfg.noise_std, left.shape)
+        right = right + rng.normal(0, cfg.noise_std, right.shape)
 
     left = np.clip(left, 0, 255).astype(np.uint8)
     right = np.clip(right, 0, 255).astype(np.uint8)
     return left, right, disp
-
-
-def _sample_shift(img: np.ndarray, d: float) -> np.ndarray:
-    """out[:, x] = img[:, x + d] with linear interpolation (d >= 0)."""
-    h, w = img.shape[:2]
-    x = np.arange(w, dtype=np.float32) + d
-    x0 = np.floor(x).astype(np.int64)
-    frac = (x - x0)[None, :, None]
-    x0c = np.clip(x0, 0, w - 1)
-    x1c = np.clip(x0 + 1, 0, w - 1)
-    return img[:, x0c] * (1 - frac) + img[:, x1c] * frac
 
 
 def generate_batch(rng: np.random.Generator, batch: int,

@@ -6,14 +6,32 @@ subscriptions into a BPU task queue with 4 in-flight requests
 (``stereonet_node.cpp:144``), this engine runs a dispatch thread and a
 fetch thread around one jit-compiled device pipeline:
 
-  feed(frame)  ->  [bounded queue]  ->  dispatch: device_put + launch
+  feed(frame)  ->  [bounded queue]  ->  dispatch: drain <=max_batch frames,
+                                        ONE batched device call
                ->  [in-flight deque, depth = cfg.engine.inflight]
-               ->  fetch: host transfer  ->  [result queue]  -> results()
+               ->  fetch: host transfer, split batch  ->  [result queue]
 
 Frame geometry is validated on feed (the reference validates and drops at
 ``stereonet_node.cpp:682-690``); full queues drop the newest frame rather
 than blocking the camera.  All device work is one fused jit function:
-NV12 split + YUV444 + normalize + network forward (+ depth).
+NV12 split + YUV444 + normalize + network forward (+ depth), vmapped over
+the micro-batch.
+
+Micro-batching is the engine's throughput lever: each device dispatch has
+a fixed launch/RPC cost (~25 ms through this rig's tunnel; tens of us on a
+directly-attached chip), so the dispatch thread drains every frame already
+queued (up to ``EngineConfig.max_batch``) and pads to the nearest static
+bucket.  Under light load batches are 1 frame (lowest latency); under
+sustained load they grow to max_batch (highest throughput) — the adaptive
+generalization of the reference's fixed 4-task async pool.
+
+Zero-copy analog: ``feed`` also accepts frames whose ``sbs_nv12`` is
+already a device-resident ``jax.Array`` (the reference ingests camera
+frames via hbmem shared memory, ``stereonet_node.h:95-97``, precisely to
+avoid copies on the hot path — our equivalent is a pre-staged device ring
+buffer; see ``data.stream.DeviceFrameRing``).  Device frames are batched
+with an on-device stack; host frames pay one host->device transfer per
+dispatch.
 """
 
 from __future__ import annotations
@@ -32,11 +50,44 @@ from ..ops import preprocess as pp
 from .metrics import EngineMetrics
 
 
+class DeviceBatchView:
+    """Lazy per-frame view into a device-resident result batch.
+
+    In ``fetch_results=False`` mode the fetch thread must NOT slice the
+    batch per frame — each slice is an eager device op, and 128 of them per
+    batch cost more than the network itself through an RPC tunnel.  This
+    handle defers the slice (and any host transfer) to the consumer that
+    actually wants the frame."""
+
+    __slots__ = ("_batch", "_i")
+
+    def __init__(self, batch, i: int):
+        self._batch = batch
+        self._i = i
+
+    @property
+    def shape(self):
+        return self._batch.shape[1:]
+
+    @property
+    def dtype(self):
+        return self._batch.dtype
+
+    def device_array(self):
+        """The [H, W] jax.Array for device-side consumers (one slice op)."""
+        return self._batch[self._i]
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self._batch[self._i])
+        return out.astype(dtype) if dtype is not None else out
+
+
 @dataclass
 class StereoResult:
     index: int
     timestamp: float
-    disparity: np.ndarray  # [H, W] float32 px
+    disparity: np.ndarray  # [H, W] float32 px (DeviceBatchView when the
+    #                        engine runs with fetch_results=False)
     depth_m: Optional[np.ndarray] = None
     gt_disparity: Optional[np.ndarray] = None
     e2e_latency_s: float = 0.0
@@ -79,19 +130,44 @@ class StereoEngine:
         self.params = params
 
         camera = cfg.camera
+        self._buckets = cfg.engine.batch_buckets
 
         @jax.jit
-        def _pipeline(params, sbs):
-            x = pp.nv12_ingest(sbs, H, 2 * W, cfg.preprocess)
+        def _pipeline(params, sbs_batch):
+            # [B, frame_len] uint8 -> (disp [B,H,W], depth|None, probe).
+            # The probe scalar is computed IN the fused program so the
+            # fetch thread can confirm completion with one scalar transfer
+            # and zero extra op dispatches.
+            x = jax.vmap(lambda f: pp.nv12_ingest(f, H, 2 * W, cfg.preprocess)[0])(
+                sbs_batch
+            )
             left, right = pp.split_model_input(x)
-            disp = self.model.apply(params, left, right)["disparity"][0]
+            disp = self.model.apply(params, left, right)["disparity"]
             if compute_depth:
                 depth = camera.depth_from_disparity(disp)
             else:
                 depth = None
-            return disp, depth
+            return disp, depth, jnp.mean(disp[:, 0])
 
         self._pipeline = _pipeline
+        # Stage-timing diagnostic split (reference rt_stat analog): the
+        # same math as _pipeline but in two dispatches so each can be
+        # synced and timed.
+        @jax.jit
+        def _pre_stage(sbs_batch):
+            return jax.vmap(
+                lambda f: pp.nv12_ingest(f, H, 2 * W, cfg.preprocess)[0]
+            )(sbs_batch)
+
+        @jax.jit
+        def _net_stage(params, x):
+            left, right = pp.split_model_input(x)
+            disp = self.model.apply(params, left, right)["disparity"]
+            depth = camera.depth_from_disparity(disp) if compute_depth else None
+            return disp, depth, jnp.mean(disp[:, 0])
+
+        self._pre_stage = _pre_stage
+        self._net_stage = _net_stage
         # One jitted apply reused across infer() calls — a fresh jax.jit per
         # call would retrace and recompile every frame.
         self._infer_fn = jax.jit(self.model.apply)
@@ -110,15 +186,23 @@ class StereoEngine:
     # Lifecycle
     # ------------------------------------------------------------------
 
-    def warmup(self) -> None:
-        """Compile the pipeline on a dummy frame so the first real frame's
-        latency metrics reflect steady state, not compilation."""
+    def warmup(self, buckets=None) -> None:
+        """Compile the pipeline so the first real frame's latency metrics
+        reflect steady state, not compilation.
+
+        By default compiles the two shapes a stream actually hits: batch 1
+        (light load) and max_batch (sustained load); intermediate buckets
+        compile lazily on first use.  Pass an explicit bucket list to
+        pre-compile more."""
         import jax.numpy as jnp
         import numpy as np
 
-        dummy = jnp.asarray(np.zeros(self._expected_len, np.uint8))
-        disp, _ = self._pipeline(self.params, dummy)
-        np.asarray(disp)  # force full execution through the tunnel
+        if buckets is None:
+            buckets = sorted({1, self.cfg.engine.max_batch})
+        for b in buckets:
+            dummy = jnp.asarray(np.zeros((b, self._expected_len), np.uint8))
+            _, _, probe = self._pipeline(self.params, dummy)
+            float(probe)  # force full execution through the tunnel
 
     def start(self, warmup: bool = True) -> "StereoEngine":
         if warmup:
@@ -243,56 +327,130 @@ class StereoEngine:
     # Workers
     # ------------------------------------------------------------------
 
-    def _dispatch_loop(self) -> None:
+    def _assemble_batch(self, frames) -> "object":
+        """Stack frame buffers to [bucket, L], padded by repeating the last
+        frame (pad rows are computed then discarded — padding to a static
+        bucket costs idle-lane FLOPs but avoids a recompile per batch size).
+
+        Fast paths, in order:
+          * all frames are slots of one device ring (hbmem zero-copy
+            analog): ONE gather op, no copies of individual buffers;
+          * device-resident arrays: on-device stack;
+          * host arrays: one host stack + one host->device transfer.
+        """
+        import jax
         import jax.numpy as jnp
+
+        from ..data.stream import RingSlot
+
+        bucket = next(b for b in self._buckets if b >= len(frames))
+        bufs = [f.sbs_nv12 for f in frames]
+        bufs += [bufs[-1]] * (bucket - len(bufs))
+        first = bufs[0]
+        if isinstance(first, RingSlot) and all(
+            isinstance(b, RingSlot) and b.ring is first.ring for b in bufs
+        ):
+            idx = jnp.asarray(np.asarray([b.slot for b in bufs], np.int32))
+            return first.ring.data[idx]
+        bufs = [b.device_array() if isinstance(b, RingSlot) else b for b in bufs]
+        if isinstance(bufs[0], jax.Array):
+            return jnp.stack(bufs)
+        return jnp.asarray(np.stack(bufs))
+
+    def _dispatch_loop(self) -> None:
+        max_batch = self.cfg.engine.max_batch
+        stage_timing = self.cfg.engine.stage_timing
 
         while not self._stop.is_set():
             try:
-                frame: Frame = self._feed_q.get(timeout=0.1)
+                frames = [self._feed_q.get(timeout=0.1)]
             except queue.Empty:
                 continue
             with self._in_progress_lock:
                 self._in_progress += 1
+            # Adaptive micro-batch: take everything already queued, up to
+            # max_batch.  No waiting — latency under light load stays one
+            # frame deep; throughput under sustained load amortizes the
+            # dispatch floor over up to max_batch frames.
+            while len(frames) < max_batch:
+                try:
+                    frames.append(self._feed_q.get_nowait())
+                except queue.Empty:
+                    break
             t0 = time.monotonic()
-            sbs = jnp.asarray(frame.sbs_nv12)
-            disp, depth = self._pipeline(self.params, sbs)
-            # Bounded in-flight depth: blocks dispatch when the device is
-            # already `inflight` frames behind (backpressure, not drop).
-            self._inflight_q.put((frame, disp, depth, t0))
+            batch = self._assemble_batch(frames)
+            if stage_timing:
+                # Diagnostic split (rt_stat preprocess/infer analog):
+                # sync after each stage to attribute time.
+                x = self._pre_stage(batch)
+                x.block_until_ready()
+                _ = float(x.ravel()[0])  # tunnel-safe true sync
+                t_pre = time.monotonic()
+                disp, depth, probe = self._net_stage(self.params, x)
+                self.metrics.preprocess_latency.record(t_pre - t0)
+                self._inflight_q.put((frames, disp, depth, probe, t0, t_pre))
+            else:
+                disp, depth, probe = self._pipeline(self.params, batch)
+                self._inflight_q.put((frames, disp, depth, probe, t0, None))
+            self.metrics.dispatch_batch.record(len(frames))
             with self._in_progress_lock:
                 self._in_progress -= 1
 
     def _fetch_loop(self) -> None:
+        fetch_results = self.cfg.engine.fetch_results
         while not self._stop.is_set():
             try:
-                frame, disp, depth, t0 = self._inflight_q.get(timeout=0.1)
+                frames, disp, depth, probe, t0, t_pre = self._inflight_q.get(
+                    timeout=0.1
+                )
             except queue.Empty:
                 continue
             with self._in_progress_lock:
                 self._in_progress += 1
-            disp_np = np.asarray(disp)  # true sync: host transfer
-            depth_np = np.asarray(depth) if depth is not None else None
-            left_rgb = None
-            if self._keep_left:
-                from ..data.stream import sbs_nv12_to_left_rgb
-
-                left_rgb = sbs_nv12_to_left_rgb(
-                    frame.sbs_nv12, frame.height, frame.full_width
-                )
+            if fetch_results:
+                disp_out = np.asarray(disp)  # true sync: host transfer
+                depth_out = np.asarray(depth) if depth is not None else None
+            else:
+                # Device-resident results: the fused probe scalar confirms
+                # completion (block_until_ready is not a true sync through
+                # RPC tunnels) with ONE tiny transfer and zero extra op
+                # dispatches; frames get lazy views, never eager slices.
+                float(probe)
+                disp_out, depth_out = disp, depth
             now = time.monotonic()
+            if t_pre is not None:
+                self.metrics.network_latency.record(now - t_pre)
             self.metrics.infer_latency.record(now - t0)
-            self.metrics.e2e_latency.record(now - frame.timestamp)
-            self.metrics.output_fps.tick()
-            self._result_q.put(
-                StereoResult(
-                    index=frame.index,
-                    timestamp=frame.timestamp,
-                    disparity=disp_np,
-                    depth_m=depth_np,
-                    gt_disparity=frame.gt_disparity,
-                    e2e_latency_s=now - frame.timestamp,
-                    left_rgb=left_rgb,
+            for i, frame in enumerate(frames):
+                left_rgb = None
+                if self._keep_left:
+                    from ..data.stream import sbs_nv12_to_left_rgb
+
+                    left_rgb = sbs_nv12_to_left_rgb(
+                        np.asarray(frame.sbs_nv12), frame.height, frame.full_width
+                    )
+                if fetch_results:
+                    d_i = disp_out[i]
+                    z_i = depth_out[i] if depth_out is not None else None
+                else:
+                    d_i = DeviceBatchView(disp_out, i)
+                    z_i = (
+                        DeviceBatchView(depth_out, i)
+                        if depth_out is not None
+                        else None
+                    )
+                self.metrics.e2e_latency.record(now - frame.timestamp)
+                self._result_q.put(
+                    StereoResult(
+                        index=frame.index,
+                        timestamp=frame.timestamp,
+                        disparity=d_i,
+                        depth_m=z_i,
+                        gt_disparity=frame.gt_disparity,
+                        e2e_latency_s=now - frame.timestamp,
+                        left_rgb=left_rgb,
+                    )
                 )
-            )
+            self.metrics.output_fps.tick(len(frames))
             with self._in_progress_lock:
                 self._in_progress -= 1

@@ -71,8 +71,38 @@ class LatencyStat:
         }
 
 
+class ValueStat:
+    """Running mean/min/max over the last N unitless samples (e.g. the
+    per-dispatch batch size)."""
+
+    def __init__(self, capacity: int = 200):
+        self._samples: deque = deque(maxlen=capacity)
+        self._lock = threading.Lock()
+        self.total = 0.0
+        self.n = 0
+
+    def record(self, value: float) -> None:
+        with self._lock:
+            self._samples.append(value)
+            self.total += value
+            self.n += 1
+
+    def summary(self) -> Dict[str, float]:
+        with self._lock:
+            if not self._samples:
+                return {"mean": 0.0, "min": 0.0, "max": 0.0, "n": 0}
+            s = list(self._samples)
+        return {"mean": sum(s) / len(s), "min": min(s), "max": max(s), "n": len(s)}
+
+
 class EngineMetrics:
-    """The full counter set for the streaming engine."""
+    """The full counter set for the streaming engine.
+
+    ``preprocess_latency``/``network_latency`` mirror the reference's
+    per-stage ``rt_stat`` split (preprocess ms vs infer ms,
+    ``stereonet_node.cpp:1078-1084``); they are populated only in the
+    engine's stage-timing diagnostic mode, since splitting stages of one
+    fused async pipeline requires a device sync per stage."""
 
     def __init__(self):
         self.input_fps = RateCounter()
@@ -81,6 +111,9 @@ class EngineMetrics:
         self.invalid = 0
         self.e2e_latency = LatencyStat()
         self.infer_latency = LatencyStat()
+        self.preprocess_latency = LatencyStat()
+        self.network_latency = LatencyStat()
+        self.dispatch_batch = ValueStat()
         self._lock = threading.Lock()
 
     def drop(self) -> None:
@@ -92,7 +125,7 @@ class EngineMetrics:
             self.invalid += 1
 
     def snapshot(self) -> Dict:
-        return {
+        out = {
             "input_fps": round(self.input_fps.rate(), 2),
             "output_fps": round(self.output_fps.rate(), 2),
             "frames_in": self.input_fps.total,
@@ -101,7 +134,12 @@ class EngineMetrics:
             "invalid": self.invalid,
             "e2e_latency": self.e2e_latency.summary(),
             "infer_latency": self.infer_latency.summary(),
+            "dispatch_batch": self.dispatch_batch.summary(),
         }
+        if self.preprocess_latency.summary()["n"]:
+            out["preprocess_latency"] = self.preprocess_latency.summary()
+            out["network_latency"] = self.network_latency.summary()
+        return out
 
     def json(self) -> str:
         return json.dumps(self.snapshot())

@@ -27,8 +27,10 @@ def train_synthetic(
     eval_every: int = 0,
     resume_from: Optional[str] = None,
     save_every: int = 500,
+    model_cfg=None,
 ) -> Dict:
-    """Train FastStereoNet on procedural scenes; returns final metrics."""
+    """Train a stereo model (default FastStereoNet) on procedural scenes;
+    returns final metrics."""
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +40,7 @@ def train_synthetic(
     from . import checkpoint as ckpt
     from . import training
 
-    cfg = StereoNetConfig()
+    cfg = model_cfg if model_cfg is not None else StereoNetConfig()
     if model is None:
         model = FastStereoNet(cfg)
     if dataset is None:

@@ -211,38 +211,14 @@ class LoopClosure(NamedTuple):
     score: float
 
 
-def detect_loop(slam, min_gap: int = 5, score_threshold: float = 0.25,
-                min_inliers: int = 20) -> Optional[LoopClosure]:
-    """Detect a loop closure for the newest keyframe of a StereoSLAM.
-
-    Appearance: batched descriptor similarity against every keyframe at
-    least ``min_gap`` behind.  Geometry: the best candidate is verified by
-    robust PnP of its triangulated world points (moved into the candidate's
-    local frame) against the query's keypoints; the PnP pose yields the
-    relative-transform measurement for the pose-graph edge."""
+def _verify_candidate(slam, cand, query, i: int, j: int, score: float,
+                      min_inliers: int) -> Optional[LoopClosure]:
+    """Geometric verification: candidate's landmarks in *its own* camera
+    frame vs. the query's 2D keypoints -> PnP pose = T_query<-cand-frame,
+    i.e. the measured relative transform T_j * T_i^-1."""
     from .features import match
     from .odometry import robust_pnp
 
-    kfs = slam.state.keyframes
-    j = len(kfs) - 1
-    if j < min_gap + 1:
-        return None
-    query = kfs[j]
-    cands = kfs[: j - min_gap + 1]
-
-    desc = jnp.stack([np.asarray(k.keypoints.desc) for k in cands])
-    val = jnp.stack([np.asarray(k.keypoints.valid) for k in cands])
-    scores = np.asarray(
-        similarity_scores(query.keypoints.desc, query.keypoints.valid, desc, val)
-    )
-    best = int(np.argmax(scores))
-    if float(scores[best]) < score_threshold:
-        return None
-    cand = cands[best]
-
-    # Geometric verification: candidate's landmarks in *its own* camera
-    # frame vs. the query's 2D keypoints -> PnP pose = T_query<-cand-frame,
-    # i.e. the measured relative transform T_j * T_i^-1.
     m = match(cand.keypoints, query.keypoints)
     mvalid = np.asarray(m.valid) & cand.valid[np.asarray(m.idx_a)]
     pts_cand = se3.transform(
@@ -262,21 +238,77 @@ def detect_loop(slam, min_gap: int = 5, score_threshold: float = 0.25,
     R_ji, t_ji = np.asarray(res.R), np.asarray(res.t)   # T_j * T_i^-1
     Ri, ti = se3.inverse(jnp.asarray(R_ji), jnp.asarray(t_ji))
     return LoopClosure(
-        i=best, j=j, R_ij=np.asarray(Ri), t_ij=np.asarray(ti),
-        num_inliers=n_inl, score=float(scores[best]),
+        i=i, j=j, R_ij=np.asarray(Ri), t_ij=np.asarray(ti),
+        num_inliers=n_inl, score=score,
     )
+
+
+def detect_loops(slam, min_gap: int = 5, score_threshold: float = 0.25,
+                 min_inliers: int = 20, max_loops: int = 3) -> list:
+    """Detect loop closures for the newest keyframe of a StereoSLAM.
+
+    Appearance: ONE batched descriptor-similarity pass (vmapped MXU matmul)
+    scores every keyframe at least ``min_gap`` behind.  All candidates above
+    threshold are geometrically verified (descending score) until
+    ``max_loops`` edges are accepted; accepted candidates must be
+    ``min_gap`` apart from each other so the edges constrain distinct parts
+    of the trajectory rather than duplicating one."""
+    kfs = slam.state.keyframes
+    j = len(kfs) - 1
+    if j < min_gap + 1:
+        return []
+    query = kfs[j]
+    cands = kfs[: j - min_gap + 1]
+
+    desc = jnp.stack([np.asarray(k.keypoints.desc) for k in cands])
+    val = jnp.stack([np.asarray(k.keypoints.valid) for k in cands])
+    scores = np.asarray(
+        similarity_scores(query.keypoints.desc, query.keypoints.valid, desc, val)
+    )
+    order = np.argsort(scores)[::-1]
+    accepted: list = []
+    for idx in order:
+        if len(accepted) >= max_loops:
+            break
+        if float(scores[idx]) < score_threshold:
+            break
+        if any(abs(int(idx) - a.i) < min_gap for a in accepted):
+            continue
+        lc = _verify_candidate(slam, cands[int(idx)], query, int(idx), j,
+                               float(scores[idx]), min_inliers)
+        if lc is not None:
+            accepted.append(lc)
+    return accepted
+
+
+def detect_loop(slam, min_gap: int = 5, score_threshold: float = 0.25,
+                min_inliers: int = 20) -> Optional[LoopClosure]:
+    """Single best loop closure (compatibility wrapper over detect_loops)."""
+    loops = detect_loops(slam, min_gap=min_gap, score_threshold=score_threshold,
+                         min_inliers=min_inliers, max_loops=1)
+    return loops[0] if loops else None
 
 
 def build_keyframe_graph(slam, loops=(), odometry_weight: float = 1.0,
                          loop_weight: float = 10.0,
-                         pad_edges_to: int = 0) -> PoseGraph:
+                         pad_edges_to: int = 0,
+                         pad_poses_to: int = 0) -> PoseGraph:
     """Odometry chain (consecutive keyframes' current relative poses) plus
     loop-closure edges, padded to ``pad_edges_to`` with masked self-edges
-    so one compiled optimizer serves a whole run."""
+    and to ``pad_poses_to`` with edge-free identity poses, so one compiled
+    optimizer shape serves many graph sizes (padded poses contribute only
+    their damping block to H — their update is exactly zero)."""
     kfs = slam.state.keyframes
     n = len(kfs)
-    R = jnp.asarray(np.stack([k.R for k in kfs]))
-    t = jnp.asarray(np.stack([k.t for k in kfs]))
+    R = np.stack([k.R for k in kfs])
+    t = np.stack([k.t for k in kfs])
+    if pad_poses_to and n < pad_poses_to:
+        R = np.concatenate(
+            [R, np.broadcast_to(np.eye(3, dtype=R.dtype), (pad_poses_to - n, 3, 3))]
+        )
+        t = np.concatenate([t, np.zeros((pad_poses_to - n, 3), t.dtype)])
+    R = jnp.asarray(R)
+    t = jnp.asarray(t)
 
     ei, ej, Rm, tm, w, v = [], [], [], [], [], []
     for a in range(n - 1):
@@ -301,23 +333,91 @@ def build_keyframe_graph(slam, loops=(), odometry_weight: float = 1.0,
     )
 
 
-def close_loops(slam, min_gap: int = 5, iters: int = 20) -> Optional[dict]:
-    """Detect a loop for the newest keyframe and, if found, optimize the
-    keyframe pose graph and write the corrected poses back into the SLAM
-    state (keyframes + the trajectory entries they anchor)."""
-    lc = detect_loop(slam, min_gap=min_gap)
-    if lc is None:
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def close_loops(slam, min_gap: int = 5, iters: int = 20,
+                max_loops: int = 3) -> Optional[dict]:
+    """Detect loops for the newest keyframe and, if any verify, optimize
+    the keyframe pose graph and write the correction back into the SLAM
+    state CONSISTENTLY:
+
+      * keyframe poses <- optimized poses;
+      * each keyframe's landmarks are re-anchored so they keep their
+        camera-frame position under the new pose
+        (p_w' = K_new^-1 K_old p_w — without this, post-closure PnP against
+        stale landmarks lands new poses back in the drifted frame);
+      * intermediate (non-keyframe) trajectory entries get their anchoring
+        keyframe's correction composed on (F' = F K_old^-1 K_new), so the
+        reported trajectory doesn't mix corrected and uncorrected samples;
+      * both loop endpoints are registered as eviction-protected anchors.
+
+    Problem shapes are padded to power-of-two buckets (poses AND edges) so
+    the jitted optimizer compiles O(log) shapes over a whole run instead of
+    one per keyframe count."""
+    loops = detect_loops(slam, min_gap=min_gap, max_loops=max_loops)
+    if not loops:
         return None
-    graph = build_keyframe_graph(slam, loops=[lc])
-    res = optimize_pose_graph(graph, iters=iters)
     st = slam.state
-    for idx, kf in enumerate(st.keyframes):
-        kf.R = np.asarray(res.R[idx])
-        kf.t = np.asarray(res.t[idx])
+    kfs = st.keyframes
+    n = len(kfs)
+    graph = build_keyframe_graph(
+        slam, loops=loops,
+        pad_poses_to=_next_pow2(n),
+        pad_edges_to=_next_pow2(n - 1 + len(loops)),
+    )
+    res = optimize_pose_graph(graph, iters=iters)
+
+    # --- consistent write-back -----------------------------------------
+    old_poses = [(kf.R.copy(), kf.t.copy()) for kf in kfs]
+    corrections = []  # per keyframe: (K_old^-1 K_new) as (R, t), world->world
+    for idx, kf in enumerate(kfs):
+        R_new = np.asarray(res.R[idx])
+        t_new = np.asarray(res.t[idx])
+        R_old, t_old = old_poses[idx]
+        # Landmarks keep their camera-frame coordinates:
+        # p_cam = R_old p + t_old  =>  p' = R_new^T (p_cam - t_new).
+        p_cam = kf.points_w @ R_old.T + t_old
+        kf.points_w = (p_cam - t_new) @ R_new
+        kf.R, kf.t = R_new, t_new
+        # World-to-world correction for poses hanging off this keyframe:
+        # F' = F * (K_old^-1 K_new).
+        Rc = R_old.T @ R_new
+        tc = R_old.T @ (t_new - t_old)
+        corrections.append((Rc, tc))
         if 0 <= kf.index < len(st.poses):
             st.poses[kf.index] = (kf.R, kf.t)
             st.trajectory[kf.index] = slam._center(kf.R, kf.t)
+
+    # Propagate each keyframe's correction to the intermediate frames it
+    # anchors (frames up to the next keyframe).
+    kf_indices = [kf.index for kf in kfs]
+    bounds = kf_indices + [len(st.poses)]
+    for k in range(n):
+        Rc, tc = corrections[k]
+        for fi in range(bounds[k] + 1, bounds[k + 1]):
+            if fi in kf_indices or not (0 <= fi < len(st.poses)):
+                continue
+            Rf, tf = st.poses[fi]
+            Rn = Rf @ Rc
+            tn = Rf @ tc + tf
+            st.poses[fi] = (Rn, tn)
+            st.trajectory[fi] = slam._center(Rn, tn)
+
+    # Protect loop endpoints from keyframe-window eviction: a future
+    # closure against the same place needs its anchor to still exist.
+    anchors = getattr(slam, "loop_anchor_indices", None)
+    if anchors is not None:
+        for lc in loops:
+            anchors.add(kfs[lc.i].index)
+            anchors.add(kfs[lc.j].index)
+
     return {
-        "loop": lc,
+        "loop": loops[0],
+        "loops": loops,
         "cost": np.asarray(res.cost_history),
     }

@@ -57,6 +57,11 @@ class StereoSLAM:
         self.k = num_keypoints
         self.state = TrackerState()
         self._key = jax.random.PRNGKey(seed)
+        # Frame indices of keyframes pinned by loop-closure edges
+        # (pose_graph.close_loops registers both endpoints): window
+        # eviction must not discard them or future closures against the
+        # same place lose their anchor.
+        self.loop_anchor_indices: set = set()
 
     # ------------------------------------------------------------------
 
@@ -128,7 +133,15 @@ class StereoSLAM:
                 self._make_keyframe(len(st.poses) - 1, R, t, kp, disp)
             )
             if len(st.keyframes) > self.cfg.max_keyframes:
-                st.keyframes.pop(0)
+                # Evict the oldest NON-anchor keyframe; loop-closure
+                # endpoints stay resident (fall back to plain FIFO if
+                # every keyframe is an anchor).
+                for k_i, cand in enumerate(st.keyframes):
+                    if cand.index not in self.loop_anchor_indices:
+                        st.keyframes.pop(k_i)
+                        break
+                else:
+                    st.keyframes.pop(0)
         return {"pose": (R, t), "tracked": True, "keyframe": is_kf,
                 "num_inliers": n_inl}
 

@@ -44,7 +44,7 @@ def main() -> None:
     sbs = jnp.asarray(rng.integers(0, 256, (H * 2 * W * 3 // 2,), dtype=np.uint8))
     got = nv12_sbs_preprocess_pallas(sbs, H, W)
     want = side_by_side_nv12_to_model_input(
-        sbs, H, 2 * W, PreprocessConfig(color_space="yuv444")
+        sbs, H, 2 * W, PreprocessConfig(color_space="yuv")
     )[0]
     check("nv12_sbs_preprocess", float(jnp.max(jnp.abs(got - want))), 1e-5)
 

@@ -21,7 +21,8 @@ def test_synthetic_gt_is_consistent():
     """Warping the noiseless right image back by GT disparity must
     reconstruct the left image in non-occluded regions."""
     rng = np.random.default_rng(7)  # local rng: scene must be reproducible
-    cfg = synthetic.SyntheticConfig(height=96, width=192, num_layers=3, noise_std=0.0)
+    cfg = synthetic.SyntheticConfig(height=96, width=192, num_layers=3, noise_std=0.0,
+                                    photometric_asymmetry=False)
     l, r, d = synthetic.generate_pair(rng, cfg)
     lf, rf = l.astype(np.float32), r.astype(np.float32)
 
@@ -64,6 +65,72 @@ def test_synthetic_gt_is_consistent():
     recon_bad = rf[rows, xb0c] * (1 - fb) + rf[rows, xb1c] * fb
     err_bad = np.abs(recon_bad - lf).mean(axis=-1)[mask]
     assert err_bad.mean() > 3.0 * err.mean()
+
+
+def test_synthetic_surfaces_are_slanted():
+    """v2 generator: disparity must vary *within* surfaces (slant/curvature),
+    not just across layer boundaries — the round-1 fronto-parallel
+    circularity fix.  Check: many pixels whose horizontal disparity gradient
+    is small-but-nonzero (a step edge gives large gradients; a slanted plane
+    gives |dd/dx| in (0, max_slant + curvature term])."""
+    rng = np.random.default_rng(3)
+    cfg = synthetic.SyntheticConfig(height=96, width=192, num_layers=3)
+    _, _, d = synthetic.generate_pair(rng, cfg)
+    gx = np.abs(np.diff(d, axis=1))
+    smooth_varying = (gx > 1e-4) & (gx < 0.5)
+    assert smooth_varying.mean() > 0.5, "disparity is piecewise constant"
+
+
+def test_synthetic_photometric_asymmetry():
+    """Same scene rendered with and without asymmetry: left identical,
+    right differs (gain/bias/vignette are right-eye only)."""
+    base = dict(height=64, width=128, num_layers=2, noise_std=0.0)
+    l0, r0, d0 = synthetic.generate_pair(
+        np.random.default_rng(5),
+        synthetic.SyntheticConfig(photometric_asymmetry=False, **base),
+    )
+    l1, r1, d1 = synthetic.generate_pair(
+        np.random.default_rng(5),
+        synthetic.SyntheticConfig(photometric_asymmetry=True, **base),
+    )
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_array_equal(d0, d1)
+    assert np.abs(r0.astype(np.float32) - r1.astype(np.float32)).mean() > 0.5
+
+
+def test_synthetic_gt_consistent_with_slant():
+    """The back-warp reconstruction check must hold for slanted/curved
+    surfaces too (the fixed-point right-view renderer is exact for
+    |dD/dx| < 0.5)."""
+    rng = np.random.default_rng(11)
+    cfg = synthetic.SyntheticConfig(
+        height=96, width=192, num_layers=2, noise_std=0.0,
+        photometric_asymmetry=False, max_slant=0.12, curvature_amp=2.0,
+        textureless_prob=0.0,
+    )
+    l, r, d = synthetic.generate_pair(rng, cfg)
+    lf, rf = l.astype(np.float32), r.astype(np.float32)
+    h, w = d.shape
+    xs = np.arange(w)[None, :].repeat(h, axis=0).astype(np.float32)
+    src = xs - d
+    x0 = np.floor(src).astype(np.int64)
+    frac = (src - x0)[..., None]
+    valid = (x0 >= 0) & (x0 + 1 < w)
+    x0c, x1c = np.clip(x0, 0, w - 1), np.clip(x0 + 1, 0, w - 1)
+    rows = np.arange(h)[:, None].repeat(w, axis=1)
+    recon = rf[rows, x0c] * (1 - frac) + rf[rows, x1c] * frac
+    occluded = np.zeros_like(valid)
+    for off in range(1, int(np.ceil(d.max())) + 1):
+        shifted = np.pad(d, ((0, 0), (0, off)), mode="edge")[:, off:]
+        occluded |= shifted >= d + off - 0.5
+    edges = np.abs(np.diff(d, axis=1, prepend=d[:, :1])) > 0.5
+    for off in range(1, 3):
+        edges |= np.pad(edges, ((0, 0), (off, 0)))[:, :-off]
+        edges |= np.pad(edges, ((0, 0), (0, off)))[:, off:]
+    mask = valid & ~occluded & ~edges
+    assert mask.mean() > 0.3
+    err = np.abs(recon - lf).mean(axis=-1)[mask]
+    assert err.mean() < 6.0
 
 
 def test_pfm_roundtrip(tmp_path, rng):

@@ -91,6 +91,116 @@ def test_drop_on_full():
     assert eng.metrics.dropped > 0
 
 
+def test_micro_batching_under_load():
+    """When frames are queued faster than dispatches drain them, the
+    dispatcher must coalesce >1 frame per device call (the round-2
+    throughput fix: amortize the per-dispatch launch/RPC floor)."""
+    cfg = _small_config(max_batch=8, batch_buckets=(1, 2, 4, 8),
+                        feed_queue_depth=64)
+    eng = StereoEngine(cfg)
+    n = 64 * 256 * 3 // 2
+    rng = np.random.default_rng(0)
+    frames = [
+        Frame(0.0, rng.integers(0, 255, n, dtype=np.uint8).astype(np.uint8),
+              64, 256, index=i)
+        for i in range(32)
+    ]
+    # Pre-fill the queue BEFORE starting workers: the first dispatch sees a
+    # deep backlog and must batch.
+    for f in frames:
+        assert eng.feed(f) is True
+    results = []
+    with eng:
+        eng.drain()
+        while True:
+            r = eng.poll(timeout=0.2)
+            if r is None:
+                break
+            results.append(r)
+    assert len(results) == 32
+    assert sorted(r.index for r in results) == list(range(32))
+    batch = eng.metrics.dispatch_batch.summary()
+    assert batch["max"] > 1, f"never batched: {batch}"
+    assert batch["n"] < 32, "one dispatch per frame defeats micro-batching"
+
+
+def test_micro_batch_results_match_single(rng):
+    """Batched dispatch must be numerically identical to one-at-a-time
+    dispatch (same pipeline, vmapped)."""
+    cfg1 = _small_config(max_batch=1, batch_buckets=(1,))
+    cfg8 = _small_config(max_batch=8, batch_buckets=(1, 2, 4, 8))
+    import jax
+
+    eng1 = StereoEngine(cfg1)
+    eng8 = StereoEngine(cfg8, params=jax.device_get(eng1.params))
+    n = 64 * 256 * 3 // 2
+    frames = [
+        Frame(0.0, rng.integers(0, 255, n, dtype=np.uint8).astype(np.uint8),
+              64, 256, index=i)
+        for i in range(5)
+    ]
+    def run(eng):
+        for f in frames:
+            eng.feed(f)
+        out = []
+        with eng:
+            eng.drain()
+            while True:
+                r = eng.poll(timeout=0.2)
+                if r is None:
+                    break
+                out.append(r)
+        return {r.index: r.disparity for r in out}
+
+    d1, d8 = run(eng1), run(eng8)
+    assert set(d1) == set(d8)
+    for i in d1:
+        np.testing.assert_allclose(d1[i], d8[i], rtol=1e-5, atol=1e-5)
+
+
+def test_device_frame_ring_feed():
+    """Device-resident frames (hbmem zero-copy analog) flow through feed ->
+    batched dispatch -> results."""
+    from hobot_stereonet_tpu.data.stream import DeviceFrameRing
+
+    cfg = _small_config(max_batch=4, batch_buckets=(1, 2, 4))
+    eng = StereoEngine(cfg)
+    ring = DeviceFrameRing(height=64, width=128, ring_size=2, with_gt=True)
+    for f in ring.frames(6):
+        assert eng.feed(f) is True
+    results = []
+    with eng:
+        eng.drain()
+        while True:
+            r = eng.poll(timeout=0.2)
+            if r is None:
+                break
+            results.append(r)
+    assert len(results) == 6
+    assert results[0].gt_disparity is not None
+
+
+def test_device_resident_results():
+    """fetch_results=False: results are device arrays (for device-side
+    consumers), completion still confirmed, values identical to the
+    host-fetch mode."""
+    import jax
+
+    cfg = _small_config(max_batch=4, batch_buckets=(1, 2, 4),
+                        fetch_results=False)
+    eng = StereoEngine(cfg)
+    src = SyntheticStreamSource(height=64, width=128, num_frames=3, paced=False)
+    from hobot_stereonet_tpu.runtime.engine import DeviceBatchView
+
+    results = eng.run_stream(src)
+    assert len(results) == 3
+    assert isinstance(results[0].disparity, DeviceBatchView)
+    r0 = min(results, key=lambda r: r.index)
+    assert r0.disparity.shape == (64, 128)
+    assert isinstance(r0.disparity.device_array(), jax.Array)
+    assert np.all(np.isfinite(np.asarray(r0.disparity)))
+
+
 def test_engine_int8_parity_path(rng):
     """Engine with the int8 quantization parity path enabled (the
     reference's BPU input contract) still produces sane output close to
