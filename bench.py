@@ -48,15 +48,20 @@ def main() -> None:
         )
     )
     eng = StereoEngine(cfg, compute_depth=False)
-    eng.warmup(buckets=[BATCH])
-
     ring = DeviceFrameRing(
         height=cfg.camera.height, width=cfg.camera.width, ring_size=4
     )
-    frames = list(ring.frames(N_FRAMES))
+    # Compile exactly the one shape the dispatcher hits: the feed queue is
+    # pre-filled and N_FRAMES is a multiple of BATCH, so every dispatch is a
+    # full bucket.  First-call remote compiles must not land in the measured
+    # steady-state window.
+    t_w = time.perf_counter()
+    eng.warmup(buckets=[BATCH], ring=ring)
+    print(f"warmup/compile: {time.perf_counter() - t_w:.1f}s", file=sys.stderr)
 
     # Pre-fill the feed queue so the dispatcher sees a sustained backlog
     # (steady-state serving), then time feed->completion of all frames.
+    frames = list(ring.frames(N_FRAMES))
     for f in frames:
         eng.feed(f)
     t0 = time.perf_counter()

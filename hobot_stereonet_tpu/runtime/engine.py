@@ -132,8 +132,7 @@ class StereoEngine:
         camera = cfg.camera
         self._buckets = cfg.engine.batch_buckets
 
-        @jax.jit
-        def _pipeline(params, sbs_batch):
+        def _run(params, sbs_batch):
             # [B, frame_len] uint8 -> (disp [B,H,W], depth|None, probe).
             # The probe scalar is computed IN the fused program so the
             # fetch thread can confirm completion with one scalar transfer
@@ -149,7 +148,14 @@ class StereoEngine:
                 depth = None
             return disp, depth, jnp.mean(disp[:, 0])
 
-        self._pipeline = _pipeline
+        self._pipeline = jax.jit(_run)
+        # Ring-fed variant: batch assembly (gather of ring slots) fused into
+        # the same compiled program — zero separate eager dispatches on the
+        # hot path (an eager gather op costs a dispatch round trip per batch
+        # and its first call pays a remote compile inside the serving loop).
+        self._pipeline_ring = jax.jit(
+            lambda params, ring_data, idx: _run(params, ring_data[idx])
+        )
         # Stage-timing diagnostic split (reference rt_stat analog): the
         # same math as _pipeline but in two dispatches so each can be
         # synced and timed.
@@ -186,22 +192,29 @@ class StereoEngine:
     # Lifecycle
     # ------------------------------------------------------------------
 
-    def warmup(self, buckets=None) -> None:
+    def warmup(self, buckets=None, ring=None) -> None:
         """Compile the pipeline so the first real frame's latency metrics
         reflect steady state, not compilation.
 
         By default compiles the two shapes a stream actually hits: batch 1
         (light load) and max_batch (sustained load); intermediate buckets
         compile lazily on first use.  Pass an explicit bucket list to
-        pre-compile more."""
+        pre-compile more.  Pass the ``DeviceFrameRing`` the stream will use
+        to compile the fused ring-gather variant instead of the plain-batch
+        one (each is a separate XLA program; compiling both doubles warmup
+        time for no benefit when the feed source is known)."""
         import jax.numpy as jnp
         import numpy as np
 
         if buckets is None:
             buckets = sorted({1, self.cfg.engine.max_batch})
         for b in buckets:
-            dummy = jnp.asarray(np.zeros((b, self._expected_len), np.uint8))
-            _, _, probe = self._pipeline(self.params, dummy)
+            if ring is not None:
+                idx = jnp.asarray(np.zeros((b,), np.int32))
+                _, _, probe = self._pipeline_ring(self.params, ring.data, idx)
+            else:
+                dummy = jnp.asarray(np.zeros((b, self._expected_len), np.uint8))
+                _, _, probe = self._pipeline(self.params, dummy)
             float(probe)  # force full execution through the tunnel
 
     def start(self, warmup: bool = True) -> "StereoEngine":
@@ -327,16 +340,18 @@ class StereoEngine:
     # Workers
     # ------------------------------------------------------------------
 
-    def _assemble_batch(self, frames) -> "object":
-        """Stack frame buffers to [bucket, L], padded by repeating the last
-        frame (pad rows are computed then discarded — padding to a static
-        bucket costs idle-lane FLOPs but avoids a recompile per batch size).
+    def _assemble_batch(self, frames):
+        """Resolve frame buffers to a [bucket, L] batch, padded by repeating
+        the last frame (pad rows are computed then discarded — padding to a
+        static bucket costs idle-lane FLOPs but avoids a recompile per batch
+        size).
 
-        Fast paths, in order:
-          * all frames are slots of one device ring (hbmem zero-copy
-            analog): ONE gather op, no copies of individual buffers;
-          * device-resident arrays: on-device stack;
-          * host arrays: one host stack + one host->device transfer.
+        Returns either ``("ring", ring_data, idx)`` — all frames are slots
+        of one device ring (hbmem zero-copy analog), gather happens INSIDE
+        the compiled pipeline — or ``("batch", array)`` for device-resident
+        or host frames (host frames pay one host->device transfer per
+        dispatch; on a directly-attached host that is the DMA'd camera
+        path).
         """
         import jax
         import jax.numpy as jnp
@@ -351,11 +366,11 @@ class StereoEngine:
             isinstance(b, RingSlot) and b.ring is first.ring for b in bufs
         ):
             idx = jnp.asarray(np.asarray([b.slot for b in bufs], np.int32))
-            return first.ring.data[idx]
+            return ("ring", first.ring.data, idx)
         bufs = [b.device_array() if isinstance(b, RingSlot) else b for b in bufs]
         if isinstance(bufs[0], jax.Array):
-            return jnp.stack(bufs)
-        return jnp.asarray(np.stack(bufs))
+            return ("batch", jnp.stack(bufs))
+        return ("batch", jnp.asarray(np.stack(bufs)))
 
     def _dispatch_loop(self) -> None:
         max_batch = self.cfg.engine.max_batch
@@ -378,10 +393,11 @@ class StereoEngine:
                 except queue.Empty:
                     break
             t0 = time.monotonic()
-            batch = self._assemble_batch(frames)
+            asm = self._assemble_batch(frames)
             if stage_timing:
                 # Diagnostic split (rt_stat preprocess/infer analog):
                 # sync after each stage to attribute time.
+                batch = asm[1][asm[2]] if asm[0] == "ring" else asm[1]
                 x = self._pre_stage(batch)
                 x.block_until_ready()
                 _ = float(x.ravel()[0])  # tunnel-safe true sync
@@ -390,7 +406,12 @@ class StereoEngine:
                 self.metrics.preprocess_latency.record(t_pre - t0)
                 self._inflight_q.put((frames, disp, depth, probe, t0, t_pre))
             else:
-                disp, depth, probe = self._pipeline(self.params, batch)
+                if asm[0] == "ring":
+                    disp, depth, probe = self._pipeline_ring(
+                        self.params, asm[1], asm[2]
+                    )
+                else:
+                    disp, depth, probe = self._pipeline(self.params, asm[1])
                 self._inflight_q.put((frames, disp, depth, probe, t0, None))
             self.metrics.dispatch_batch.record(len(frames))
             with self._in_progress_lock:
