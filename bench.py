@@ -29,7 +29,7 @@ import sys
 import time
 
 
-def main() -> None:
+def main(int8: bool = False) -> None:
     from hobot_stereonet_tpu.config import Config, EngineConfig
     from hobot_stereonet_tpu.data.stream import DeviceFrameRing
     from hobot_stereonet_tpu.runtime.engine import StereoEngine
@@ -47,7 +47,7 @@ def main() -> None:
             fetch_results=False,  # device-side consumers; see module doc
         )
     )
-    eng = StereoEngine(cfg, compute_depth=False)
+    eng = StereoEngine(cfg, compute_depth=False, int8=int8)
     ring = DeviceFrameRing(
         height=cfg.camera.height, width=cfg.camera.width, ring_size=4
     )
@@ -87,7 +87,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "stereo_fps_per_chip_1280x720",
+                "metric": "stereo_fps_per_chip_1280x720"
+                + ("_int8" if int8 else ""),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 2),
@@ -97,4 +98,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(int8="--int8" in sys.argv)

@@ -66,7 +66,8 @@ def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None,
         dummy = jnp.zeros((1, cfg.camera.height, cfg.camera.width, 3), jnp.float32)
         like = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
         params = ckpt.load_params(args.checkpoint, like=like)
-    return StereoEngine(cfg, model=model, params=params, keep_left=keep_left)
+    return StereoEngine(cfg, model=model, params=params, keep_left=keep_left,
+                        int8=getattr(args, "int8", False))
 
 
 def _read_any_image(path: str, nv12_height: int, nv12_width: int):
@@ -221,7 +222,8 @@ def cmd_eval(args) -> int:
 
     eng = _build_engine(args)
     res = evaluate_dataset(
-        eng.model, eng.params, ds, eng.cfg, max_frames=args.frames or 0
+        eng.model, eng.params, ds, eng.cfg, max_frames=args.frames or 0,
+        int8=args.int8,
     )
     print(json.dumps(res.to_dict()))
     return 0
@@ -426,6 +428,10 @@ def main(argv=None) -> int:
         sp.add_argument("--model", default="fast", choices=["fast", "classic"],
                         help="network variant: fast (streaming flagship) or "
                              "classic (StereoNet-paper 3D-conv build)")
+        sp.add_argument("--int8", action="store_true",
+                        help="run the network w8a8 int8 (the reference's "
+                             "whole network is int8 on the BPU; same "
+                             "checkpoint, convs swapped at apply time)")
 
     pi = sub.add_parser("infer", help="single stereo pair -> disparity "
                                       "(PNG/JPEG or raw .nv12 dumps)")

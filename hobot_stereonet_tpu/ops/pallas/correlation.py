@@ -118,6 +118,13 @@ def soft_argmin_pallas(
     """[B, H, W, D] cost (channel-last) -> (disp [B,H,W] * scale, conf)."""
     b, h, w, d = cost.shape
     assert h % row_tile == 0
+    # Mosaic constraint: for the 3D [B,H,W] outputs the (sublane, lane)
+    # dims of the block are (row_tile, W); W always equals the full array
+    # dim, but row_tile must be 8-divisible or cover H entirely.  720p/8
+    # features have H=90 (no 8-divisible tile divides it), so fall back to
+    # full-H blocks — 90x160xD f32 is ~1.4 MB, comfortably VMEM-resident.
+    if row_tile % 8 != 0 and row_tile != h:
+        row_tile = h
 
     grid = (b, h // row_tile)
     in_spec = pl.BlockSpec(

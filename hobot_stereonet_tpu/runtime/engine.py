@@ -107,7 +107,8 @@ class StereoEngine:
     """
 
     def __init__(self, cfg: Config = Config(), model=None, params=None,
-                 compute_depth: bool = True, keep_left: bool = False):
+                 compute_depth: bool = True, keep_left: bool = False,
+                 mesh=None, int8: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -116,10 +117,28 @@ class StereoEngine:
         self.cfg = cfg
         self.metrics = EngineMetrics()
         self.model = model if model is not None else FastStereoNet(cfg.model)
+        # w8a8 network path (the reference's whole network is int8 on the
+        # BPU, preprocess.h:236-240 / parser.cpp:84); same checkpoint, convs
+        # swapped for s8xs8->s32 at apply time (ops/quant.py).
+        from ..ops.quant import make_apply_fn
+
+        self.int8 = int8
+        self._apply = make_apply_fn(self.model, int8)
         self._compute_depth = compute_depth
         # Decode the left view for display consumers (the reference
         # JPEG-encodes and republishes it, stereonet_node.cpp:782-785).
         self._keep_left = keep_left
+
+        # Multi-chip serving (BASELINE "8 stereo pairs, tile-sharded"): the
+        # frame batch shards over the mesh's ``data`` axis and image rows
+        # over ``tile``; GSPMD inserts the halo collectives.  The reference
+        # has no analog (one BPU); this is the scale-out the reference's
+        # task pool can't express.
+        if mesh is None and cfg.mesh.num_devices > 1:
+            from ..parallel import mesh as mesh_mod
+
+            mesh = mesh_mod.make_mesh(cfg.mesh)
+        self.mesh = mesh
 
         H, W = cfg.camera.height, cfg.camera.width
         self._expected_len = H * (2 * W) * 3 // 2
@@ -127,10 +146,34 @@ class StereoEngine:
         if params is None:
             dummy = jnp.zeros((1, H, W, 3), jnp.float32)
             params = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy, dummy)
-        self.params = params
 
         camera = cfg.camera
         self._buckets = cfg.engine.batch_buckets
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import mesh as mesh_mod
+
+            ndata = mesh.shape[mesh_mod.DATA_AXIS]
+            # Batch buckets must split evenly over the data axis; padding to
+            # the bucket already covers partial batches.
+            self._buckets = tuple(b for b in self._buckets if b % ndata == 0)
+            if not self._buckets:
+                raise ValueError(
+                    f"no batch bucket divisible by mesh data={ndata}; "
+                    f"set EngineConfig.batch_buckets accordingly"
+                )
+            params = mesh_mod.replicate(mesh, params)
+            self._batch_sharding = NamedSharding(mesh, P(mesh_mod.DATA_AXIS, None))
+            self._act_spec = P(mesh_mod.DATA_AXIS, mesh_mod.TILE_AXIS, None, None)
+            self._out_shardings = (
+                NamedSharding(mesh, mesh_mod.batch_map_spec()),
+                NamedSharding(mesh, mesh_mod.batch_map_spec())
+                if compute_depth
+                else None,
+                NamedSharding(mesh, P()),
+            )
+        self.params = params
 
         def _run(params, sbs_batch):
             # [B, frame_len] uint8 -> (disp [B,H,W], depth|None, probe).
@@ -140,15 +183,27 @@ class StereoEngine:
             x = jax.vmap(lambda f: pp.nv12_ingest(f, H, 2 * W, cfg.preprocess)[0])(
                 sbs_batch
             )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                # Re-shard activations rows over ``tile`` for the network
+                # (the ingest itself is batch-sharded only: flat NV12 bytes
+                # have no row axis until decoded).
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, self._act_spec)
+                )
             left, right = pp.split_model_input(x)
-            disp = self.model.apply(params, left, right)["disparity"]
+            disp = self._apply(params, left, right)["disparity"]
             if compute_depth:
                 depth = camera.depth_from_disparity(disp)
             else:
                 depth = None
             return disp, depth, jnp.mean(disp[:, 0])
 
-        self._pipeline = jax.jit(_run)
+        if mesh is not None:
+            self._pipeline = jax.jit(_run, out_shardings=self._out_shardings)
+        else:
+            self._pipeline = jax.jit(_run)
         # Ring-fed variant: batch assembly (gather of ring slots) fused into
         # the same compiled program — zero separate eager dispatches on the
         # hot path (an eager gather op costs a dispatch round trip per batch
@@ -168,7 +223,7 @@ class StereoEngine:
         @jax.jit
         def _net_stage(params, x):
             left, right = pp.split_model_input(x)
-            disp = self.model.apply(params, left, right)["disparity"]
+            disp = self._apply(params, left, right)["disparity"]
             depth = camera.depth_from_disparity(disp) if compute_depth else None
             return disp, depth, jnp.mean(disp[:, 0])
 
@@ -176,7 +231,7 @@ class StereoEngine:
         self._net_stage = _net_stage
         # One jitted apply reused across infer() calls — a fresh jax.jit per
         # call would retrace and recompile every frame.
-        self._infer_fn = jax.jit(self.model.apply)
+        self._infer_fn = jax.jit(self._apply)
 
         self._feed_q: "queue.Queue" = queue.Queue(maxsize=cfg.engine.feed_queue_depth)
         self._inflight_q: "queue.Queue" = queue.Queue(maxsize=max(cfg.engine.inflight, 1))
@@ -207,13 +262,21 @@ class StereoEngine:
         import numpy as np
 
         if buckets is None:
-            buckets = sorted({1, self.cfg.engine.max_batch})
+            # Smallest and largest buckets the stream actually hits (in mesh
+            # mode the smallest valid bucket is the data-axis size, not 1).
+            buckets = sorted({self._buckets[0], self._buckets[-1]})
         for b in buckets:
-            if ring is not None:
+            if ring is not None and self.mesh is None:
                 idx = jnp.asarray(np.zeros((b,), np.int32))
                 _, _, probe = self._pipeline_ring(self.params, ring.data, idx)
             else:
-                dummy = jnp.asarray(np.zeros((b, self._expected_len), np.uint8))
+                dummy = np.zeros((b, self._expected_len), np.uint8)
+                if self.mesh is not None:
+                    import jax
+
+                    dummy = jax.device_put(dummy, self._batch_sharding)
+                else:
+                    dummy = jnp.asarray(dummy)
                 _, _, probe = self._pipeline(self.params, dummy)
             float(probe)  # force full execution through the tunnel
 
@@ -362,12 +425,20 @@ class StereoEngine:
         bufs = [f.sbs_nv12 for f in frames]
         bufs += [bufs[-1]] * (bucket - len(bufs))
         first = bufs[0]
-        if isinstance(first, RingSlot) and all(
-            isinstance(b, RingSlot) and b.ring is first.ring for b in bufs
+        if (
+            self.mesh is None
+            and isinstance(first, RingSlot)
+            and all(isinstance(b, RingSlot) and b.ring is first.ring for b in bufs)
         ):
             idx = jnp.asarray(np.asarray([b.slot for b in bufs], np.int32))
             return ("ring", first.ring.data, idx)
         bufs = [b.device_array() if isinstance(b, RingSlot) else b for b in bufs]
+        if self.mesh is not None:
+            # Mesh serving: place the batch sharded over the data axis in
+            # one transfer (the ring, if any, lives on a single device, so
+            # slots are resolved host-side first).
+            host = np.stack([np.asarray(b) for b in bufs])
+            return ("batch", jax.device_put(host, self._batch_sharding))
         if isinstance(bufs[0], jax.Array):
             return ("batch", jnp.stack(bufs))
         return ("batch", jnp.asarray(np.stack(bufs)))

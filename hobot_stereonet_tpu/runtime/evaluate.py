@@ -41,6 +41,7 @@ def evaluate_dataset(
     cfg: Config = Config(),
     max_frames: int = 0,
     batch_compile_hw: Optional[tuple] = None,
+    int8: bool = False,
 ) -> EvalResult:
     """Run the model over an indexable dataset of StereoSample; returns
     aggregate EPE/D1.  Pads each frame to the network's stride multiple and
@@ -65,11 +66,15 @@ def evaluate_dataset(
         )
     H, W = batch_compile_hw
 
+    from ..ops.quant import make_apply_fn
+
+    apply_fn = make_apply_fn(model, int8)  # w8a8 path (VERDICT r1 #5)
+
     @jax.jit
     def fwd(params, left, right):
         x = pp.rgb_pair_to_model_input(left, right, cfg.preprocess)
         l, r = pp.split_model_input(x)
-        return model.apply(params, l, r)["disparity"][0]
+        return apply_fn(params, l, r)["disparity"][0]
 
     epes, d1s, weights = [], [], []
     t0 = time.perf_counter()

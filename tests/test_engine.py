@@ -232,3 +232,49 @@ def test_distributed_initialize_single_process():
     assert info["global_devices"] >= 1
     mesh = global_mesh(tile=1)
     assert mesh.shape["data"] * mesh.shape["tile"] == info["global_devices"]
+
+
+def test_mesh_sharded_engine_matches_single(eight_devices, rng):
+    """Multi-chip serving (VERDICT #4): the engine on a (data=4, tile=2)
+    mesh must produce the same disparities as the single-device engine —
+    the BASELINE '8 stereo pairs, tile-sharded' config, engine-level."""
+    import dataclasses
+
+    import jax
+
+    from hobot_stereonet_tpu.config import MeshConfig
+
+    base = _small_config(max_batch=8, batch_buckets=(1, 2, 4, 8))
+    eng1 = StereoEngine(base)
+
+    cfg_m = dataclasses.replace(base, mesh=MeshConfig(data=4, tile=2))
+    eng_m = StereoEngine(cfg_m, params=jax.device_get(eng1.params))
+    assert eng_m.mesh is not None
+    assert eng_m._buckets == (4, 8)  # buckets not divisible by data=4 dropped
+
+    n = 64 * 256 * 3 // 2
+    frames = [
+        Frame(0.0, rng.integers(0, 255, n, dtype=np.uint8).astype(np.uint8),
+              64, 256, index=i)
+        for i in range(8)
+    ]
+
+    def run(eng):
+        for f in frames:
+            assert eng.feed(f) is True
+        out = {}
+        with eng:
+            eng.drain()
+            while True:
+                r = eng.poll(timeout=0.2)
+                if r is None:
+                    break
+                out[r.index] = np.asarray(r.disparity)
+        return out
+
+    out1, out_m = run(eng1), run(eng_m)
+    assert sorted(out_m) == list(range(8))
+    for i in range(8):
+        np.testing.assert_allclose(out_m[i], out1[i], atol=5e-2)
+    # The sharded pipeline really ran on all 8 devices.
+    assert eng_m.metrics.dispatch_batch.summary()["max"] >= 4

@@ -1,0 +1,125 @@
+"""w8a8 int8 network path (ops/quant.py).
+
+The reference runs the whole network int8 on the BPU (SURVEY.md C13;
+preprocess.h:236-240, parser.cpp:84).  These tests pin the TPU analog:
+every nn.Conv executes as s8 x s8 -> s32 with symmetric scales, from the
+SAME float32 checkpoint, and the quantization noise stays small.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hobot_stereonet_tpu.config import (
+    CameraConfig, Config, EngineConfig, StereoNetConfig)
+from hobot_stereonet_tpu.models import FastStereoNet, StereoNet
+from hobot_stereonet_tpu.ops.quant import (
+    make_apply_fn, quantize_activation, quantize_weight, quantized_apply)
+
+
+def _tiny_cfg():
+    return StereoNetConfig(
+        feature_channels=8,
+        num_feature_res_blocks=1,
+        num_aggregation_layers=1,
+        aggregation_channels=8,
+        num_refinement_res_blocks=1,
+        refinement_channels=8,
+        refinement_scale_channels=None,
+        refinement_scale_blocks=None,
+        max_disparity=32,
+        compute_dtype=jnp.float32,
+    )
+
+
+def _pair(rng, b=2, h=64, w=96):
+    l = rng.random((b, h, w, 3), np.float32) * 2 - 1
+    r = rng.random((b, h, w, 3), np.float32) * 2 - 1
+    return jnp.asarray(l), jnp.asarray(r)
+
+
+def test_quantize_weight_roundtrip(rng):
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 16)).astype(np.float32))
+    q, s = quantize_weight(k)
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    # Dequantized kernel within half an int8 step per channel.
+    err = jnp.max(jnp.abs(q.astype(jnp.float32) * s - k), axis=(0, 1, 2))
+    assert float(jnp.max(err / s)) <= 0.5 + 1e-3
+
+
+def test_quantize_activation_per_sample(rng):
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 3)).astype(np.float32))
+    q, s = quantize_activation(x)
+    assert q.dtype == jnp.int8 and s.shape == (4, 1, 1, 1)
+    # A sample's quantization must not depend on its batch neighbours
+    # (engine pads partial batches by repeating frames).
+    q2, s2 = quantize_activation(x[:2] * jnp.array([1.0, 100.0])[:, None, None, None])
+    np.testing.assert_array_equal(np.asarray(q2[0]), np.asarray(q[0]))
+
+
+@pytest.mark.parametrize("model_cls", [FastStereoNet, StereoNet])
+def test_int8_matches_fp_closely(rng, model_cls):
+    cfg = _tiny_cfg()
+    m = model_cls(cfg)
+    l, r = _pair(rng)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), l, r)
+    fp = jax.jit(lambda p, a, b: m.apply(p, a, b)["disparity"])(params, l, r)
+    q8 = jax.jit(lambda p, a, b: quantized_apply(m, p, a, b)["disparity"])(
+        params, l, r
+    )
+    # Same checkpoint, both finite, small quantization noise relative to
+    # the disparity range (tiny random nets are noisier than trained ones).
+    assert np.all(np.isfinite(np.asarray(q8)))
+    mean_err = float(jnp.mean(jnp.abs(fp - q8)))
+    assert mean_err < 0.05 * cfg.max_disparity, mean_err
+    # And it genuinely differs (the interceptor actually fired).
+    assert float(jnp.max(jnp.abs(fp - q8))) > 0
+
+
+def test_int8_params_unchanged(rng):
+    m = FastStereoNet(_tiny_cfg())
+    l, r = _pair(rng, b=1)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), l, r)
+    before = jax.tree_util.tree_map(np.asarray, params)
+    quantized_apply(m, params, l, r)
+    after = jax.tree_util.tree_map(np.asarray, params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, before, after)
+
+
+def test_engine_int8_mode(rng):
+    """StereoEngine(int8=True) serves finite disparities close to the fp
+    engine's from the same params."""
+    from hobot_stereonet_tpu.runtime.engine import StereoEngine
+    from hobot_stereonet_tpu.data.stream import Frame
+
+    cfg = Config(
+        camera=CameraConfig(width=128, height=64),
+        model=_tiny_cfg(),
+        engine=EngineConfig(max_batch=2, batch_buckets=(1, 2)),
+    )
+    eng_fp = StereoEngine(cfg)
+    eng_q8 = StereoEngine(cfg, params=eng_fp.params, int8=True)
+    assert eng_q8.int8
+
+    n = 64 * 256 * 3 // 2
+    buf = rng.integers(0, 255, n, dtype=np.uint8).astype(np.uint8)
+
+    def one(eng):
+        with eng:
+            assert eng.feed(Frame(0.0, buf, 64, 256, index=0))
+            eng.drain()
+            r = eng.poll(timeout=5.0)
+        return np.asarray(r.disparity)
+
+    d_fp, d_q8 = one(eng_fp), one(eng_q8)
+    assert np.all(np.isfinite(d_q8))
+    assert float(np.mean(np.abs(d_fp - d_q8))) < 0.05 * cfg.model.max_disparity
+
+
+def test_make_apply_fn_dispatch():
+    m = FastStereoNet(_tiny_cfg())
+    assert make_apply_fn(m, int8=False) == m.apply
+    assert make_apply_fn(m, int8=True) != m.apply
