@@ -432,6 +432,11 @@ def main(argv=None) -> int:
                         help="run the network w8a8 int8 (the reference's "
                              "whole network is int8 on the BPU; same "
                              "checkpoint, convs swapped at apply time)")
+        sp.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans: every jitted function "
+                             "re-runs op-by-op on the first NaN and raises "
+                             "at the producing op (debug builds only — "
+                             "disables async dispatch)")
 
     pi = sub.add_parser("infer", help="single stereo pair -> disparity "
                                       "(PNG/JPEG or raw .nv12 dumps)")
@@ -528,6 +533,10 @@ def main(argv=None) -> int:
     pbs.set_defaults(fn=cmd_bench_scaling)
 
     args = p.parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     try:
         return args.fn(args)
     except FileNotFoundError as e:

@@ -223,6 +223,18 @@ class EngineConfig:
     # device-side consumers (e.g. the SLAM front end) — the fetch thread
     # confirms completion with a scalar probe instead of a full transfer.
     fetch_results: bool = True
+    # Failure detection (SURVEY §5): drop frames whose output contains
+    # NaN/Inf instead of publishing them.  The per-frame flags ride the
+    # pipeline's completion probe, so the guard adds no device dispatches.
+    nan_guard: bool = True
+    # Blockwise serving (the long-context "never materialize" strategy,
+    # SURVEY §5, applied to the axis that actually exhausts HBM at target
+    # sizes — the dispatch batch): evaluate the pipeline in chunks of this
+    # many frames via lax.scan INSIDE the one compiled program.  One device
+    # dispatch, activation memory bounded by the chunk, bit-exact vs. the
+    # monolithic vmap.  0 = off.  Single-device only (a mesh already splits
+    # the batch across chips).
+    device_microbatch: int = 0
 
     def __post_init__(self):
         buckets = tuple(sorted(set(self.batch_buckets) | {1}))
@@ -231,6 +243,14 @@ class EngineConfig:
             raise ValueError(
                 f"max_batch={self.max_batch} must be one of batch_buckets={buckets}"
             )
+        if self.device_microbatch:
+            bad = [b for b in buckets
+                   if b > self.device_microbatch and b % self.device_microbatch]
+            if bad:
+                raise ValueError(
+                    f"batch buckets {bad} not divisible by "
+                    f"device_microbatch={self.device_microbatch}"
+                )
 
 
 # ---------------------------------------------------------------------------

@@ -1,18 +1,30 @@
-"""Pallas TPU kernel: fused correlation cost volume.
+"""Pallas TPU kernels: fused correlation cost volume + soft-argmin.
 
-Computes corr[b, d, h, w] = sum_c feat_l[b,h,w,c] * feat_r[b,h,w-d,c] / sqrt(C)
-for d in [0, D) in ONE pass over VMEM-resident row strips.
+** MEASURED NEGATIVE RESULT — not wired into any model. **
 
-Why a kernel: the jnp formulation materializes D shifted copies of feat_r
-(or relies on XLA to fuse them); here each row strip of feat_l / feat_r is
-loaded into VMEM once and all D diagonal products are computed in-register,
-bounding HBM traffic at 2 reads + 1 write per element regardless of D.
-The strips live at 1/8 resolution so a full W row-strip fits comfortably
-in VMEM (90x160x32 fp32 = 1.8 MB per eye at 720p input).
+On-chip (v5e, `scripts/bench_kernels.py`, model shapes: 1/8-res features of
+720p, D=24, chained-scan methodology):
 
-The jnp reference (``ops.cost_volume.build_correlation_volume``) is the
-correctness oracle; tests compare against it in interpret mode on CPU and
-compiled on TPU.
+  correlation_volume:  XLA 0.80 ms vs Pallas 1.47 ms @ B=8  (0.54x)
+                       XLA 3.25 ms vs Pallas 5.05 ms @ B=32 (0.64x)
+  soft_argmin+conf:    XLA 0.51-0.59 ms; Pallas FAILS to compile at these
+                       shapes (Mosaic scoped-VMEM stack OOM: H=90 is not
+                       8-divisible so blocks fall back to full-H, and the
+                       [90,160,24] f32 softmax intermediates exceed the
+                       16 MB scoped-vmem limit).
+
+Why XLA wins here: both ops are elementwise-reduce patterns XLA already
+fuses well, the operands are small (1.8 MB/eye strips), and the hand
+kernel's un-tileable lane dim (W=160, not 128-divisible) forces whole-row
+blocks that leave the VPU under-occupied.  Contrast with the NV12 ingest
+kernel (`preprocess_kernel.py`), which DOES win — its XLA lowering is
+gather-based and bandwidth-bound, exactly where a fused one-pass kernel
+helps.
+
+Kept as tested reference implementations (the jnp path
+``ops.cost_volume.build_correlation_volume`` remains the oracle; tests
+compare in interpret mode on CPU and compiled on TPU) so the negative
+result stays reproducible if shapes or Mosaic change.
 """
 
 from __future__ import annotations

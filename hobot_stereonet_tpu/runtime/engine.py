@@ -171,15 +171,23 @@ class StereoEngine:
                 NamedSharding(mesh, mesh_mod.batch_map_spec())
                 if compute_depth
                 else None,
-                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(mesh_mod.DATA_AXIS)),
             )
         self.params = params
 
-        def _run(params, sbs_batch):
-            # [B, frame_len] uint8 -> (disp [B,H,W], depth|None, probe).
-            # The probe scalar is computed IN the fused program so the
-            # fetch thread can confirm completion with one scalar transfer
-            # and zero extra op dispatches.
+        def _nonfinite_flags(disp):
+            # Per-frame NaN/Inf flags, fused into the pipeline program: the
+            # failure-detection guard (SURVEY §5) costs one [B]-vector
+            # transfer that doubles as the completion probe — zero extra
+            # dispatches through the RPC tunnel.
+            return jnp.any(~jnp.isfinite(disp), axis=(1, 2)).astype(jnp.float32)
+
+        def _run_chunk(params, sbs_batch):
+            # [B, frame_len] uint8 -> (disp [B,H,W], depth|None, probe [B]).
+            # The probe vector is computed IN the fused program so the
+            # fetch thread can confirm completion with one tiny transfer
+            # and zero extra op dispatches — and it carries the per-frame
+            # non-finite flags for the NaN-frame guard.
             x = jax.vmap(lambda f: pp.nv12_ingest(f, H, 2 * W, cfg.preprocess)[0])(
                 sbs_batch
             )
@@ -198,7 +206,28 @@ class StereoEngine:
                 depth = camera.depth_from_disparity(disp)
             else:
                 depth = None
-            return disp, depth, jnp.mean(disp[:, 0])
+            return disp, depth, _nonfinite_flags(disp)
+
+        def _run(params, sbs_batch):
+            # Blockwise serving (EngineConfig.device_microbatch): chunk the
+            # batch INSIDE the compiled program with lax.map — still one
+            # dispatch through the RPC floor, but peak activation memory is
+            # bounded by the chunk size instead of the full bucket.  Exact:
+            # every op in the pipeline is per-sample.
+            m = cfg.engine.device_microbatch
+            bsz = sbs_batch.shape[0]
+            if m and self.mesh is None and bsz > m and bsz % m == 0:
+                sub = sbs_batch.reshape(bsz // m, m, sbs_batch.shape[1])
+                disp, depth, flags = jax.lax.map(
+                    lambda s: _run_chunk(params, s), sub
+                )
+                join = lambda a: a.reshape((bsz,) + a.shape[2:])
+                return (
+                    join(disp),
+                    join(depth) if depth is not None else None,
+                    join(flags),
+                )
+            return _run_chunk(params, sbs_batch)
 
         if mesh is not None:
             self._pipeline = jax.jit(_run, out_shardings=self._out_shardings)
@@ -225,7 +254,7 @@ class StereoEngine:
             left, right = pp.split_model_input(x)
             disp = self._apply(params, left, right)["disparity"]
             depth = camera.depth_from_disparity(disp) if compute_depth else None
-            return disp, depth, jnp.mean(disp[:, 0])
+            return disp, depth, _nonfinite_flags(disp)
 
         self._pre_stage = _pre_stage
         self._net_stage = _net_stage
@@ -278,7 +307,7 @@ class StereoEngine:
                 else:
                     dummy = jnp.asarray(dummy)
                 _, _, probe = self._pipeline(self.params, dummy)
-            float(probe)  # force full execution through the tunnel
+            np.asarray(probe)  # force full execution through the tunnel
 
     def start(self, warmup: bool = True) -> "StereoEngine":
         if warmup:
@@ -490,6 +519,7 @@ class StereoEngine:
 
     def _fetch_loop(self) -> None:
         fetch_results = self.cfg.engine.fetch_results
+        nan_guard = self.cfg.engine.nan_guard
         while not self._stop.is_set():
             try:
                 frames, disp, depth, probe, t0, t_pre = self._inflight_q.get(
@@ -502,18 +532,30 @@ class StereoEngine:
             if fetch_results:
                 disp_out = np.asarray(disp)  # true sync: host transfer
                 depth_out = np.asarray(depth) if depth is not None else None
+                # Results are on the host anyway — flag non-finite frames
+                # there, no extra transfer.
+                bad = ~np.isfinite(disp_out).all(axis=(1, 2))
             else:
-                # Device-resident results: the fused probe scalar confirms
+                # Device-resident results: the fused probe vector confirms
                 # completion (block_until_ready is not a true sync through
                 # RPC tunnels) with ONE tiny transfer and zero extra op
-                # dispatches; frames get lazy views, never eager slices.
-                float(probe)
+                # dispatches — and carries the per-frame non-finite flags;
+                # frames get lazy views, never eager slices.
+                bad = np.asarray(probe) > 0
                 disp_out, depth_out = disp, depth
             now = time.monotonic()
             if t_pre is not None:
                 self.metrics.network_latency.record(now - t_pre)
             self.metrics.infer_latency.record(now - t0)
+            emitted = 0
             for i, frame in enumerate(frames):
+                if nan_guard and bad[i]:
+                    # Failure detection: a frame whose output contains
+                    # NaN/Inf is dropped, not published (the reference drops
+                    # bad frames and continues, stereonet_node.cpp:682-690 —
+                    # here extended to the numeric-health of the output).
+                    self.metrics.nan_drop()
+                    continue
                 left_rgb = None
                 if self._keep_left:
                     from ..data.stream import sbs_nv12_to_left_rgb
@@ -543,6 +585,8 @@ class StereoEngine:
                         left_rgb=left_rgb,
                     )
                 )
-            self.metrics.output_fps.tick(len(frames))
+                emitted += 1
+            if emitted:
+                self.metrics.output_fps.tick(emitted)
             with self._in_progress_lock:
                 self._in_progress -= 1

@@ -109,6 +109,7 @@ class EngineMetrics:
         self.output_fps = RateCounter()
         self.dropped = 0
         self.invalid = 0
+        self.nan_dropped = 0
         self.e2e_latency = LatencyStat()
         self.infer_latency = LatencyStat()
         self.preprocess_latency = LatencyStat()
@@ -124,6 +125,10 @@ class EngineMetrics:
         with self._lock:
             self.invalid += 1
 
+    def nan_drop(self) -> None:
+        with self._lock:
+            self.nan_dropped += 1
+
     def snapshot(self) -> Dict:
         out = {
             "input_fps": round(self.input_fps.rate(), 2),
@@ -132,6 +137,7 @@ class EngineMetrics:
             "frames_out": self.output_fps.total,
             "dropped": self.dropped,
             "invalid": self.invalid,
+            "nan_dropped": self.nan_dropped,
             "e2e_latency": self.e2e_latency.summary(),
             "infer_latency": self.infer_latency.summary(),
             "dispatch_batch": self.dispatch_batch.summary(),

@@ -77,11 +77,18 @@ def main():
         return (correlation_volume_pallas(l, r, D, row_tile=6),)
 
     t_xla = timed(corr_xla, fl, fr)
-    t_pl = timed(corr_pl, fl, fr)
-    print(
-        f'{{"op": "correlation_volume", "xla_ms": {t_xla*1e3:.3f}, '
-        f'"pallas_ms": {t_pl*1e3:.3f}, "speedup": {t_xla/t_pl:.2f}}}'
-    )
+    try:
+        t_pl = timed(corr_pl, fl, fr)
+        print(
+            f'{{"op": "correlation_volume", "xla_ms": {t_xla*1e3:.3f}, '
+            f'"pallas_ms": {t_pl*1e3:.3f}, "speedup": {t_xla/t_pl:.2f}}}'
+        )
+    except Exception as e:
+        print(
+            f'{{"op": "correlation_volume", "xla_ms": {t_xla*1e3:.3f}, '
+            f'"pallas_ms": null, "error": "{type(e).__name__}"}}'
+        )
+        print(str(e).splitlines()[0], file=sys.stderr)
 
     # -- soft-argmin + confidence (the model computes both).
     def sam_xla(c):
@@ -91,11 +98,18 @@ def main():
         return soft_argmin_pallas(c, scale=8.0, row_tile=6)
 
     t_xla = timed(sam_xla, cost)
-    t_pl = timed(sam_pl, cost)
-    print(
-        f'{{"op": "soft_argmin+conf", "xla_ms": {t_xla*1e3:.3f}, '
-        f'"pallas_ms": {t_pl*1e3:.3f}, "speedup": {t_xla/t_pl:.2f}}}'
-    )
+    try:
+        t_pl = timed(sam_pl, cost)
+        print(
+            f'{{"op": "soft_argmin+conf", "xla_ms": {t_xla*1e3:.3f}, '
+            f'"pallas_ms": {t_pl*1e3:.3f}, "speedup": {t_xla/t_pl:.2f}}}'
+        )
+    except Exception as e:
+        print(
+            f'{{"op": "soft_argmin+conf", "xla_ms": {t_xla*1e3:.3f}, '
+            f'"pallas_ms": null, "error": "{type(e).__name__}"}}'
+        )
+        print(str(e).splitlines()[0], file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -278,3 +278,89 @@ def test_mesh_sharded_engine_matches_single(eight_devices, rng):
         np.testing.assert_allclose(out_m[i], out1[i], atol=5e-2)
     # The sharded pipeline really ran on all 8 devices.
     assert eng_m.metrics.dispatch_batch.summary()["max"] >= 4
+
+
+def _poison(params):
+    """All-NaN copy of a parameter pytree."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.full_like(x, np.nan), params)
+
+
+@pytest.mark.parametrize("fetch_results", [True, False])
+def test_nan_guard_drops_bad_frames(fetch_results):
+    """Failure detection (SURVEY §5): a frame whose output contains NaN/Inf
+    is dropped, counted, and never published — in both the host-fetch and
+    device-resident result modes (the flags ride the completion probe)."""
+    cfg = _small_config(max_batch=4, batch_buckets=(1, 2, 4),
+                        fetch_results=fetch_results)
+    ref = StereoEngine(cfg)
+    eng = StereoEngine(cfg, params=_poison(ref.params))
+    n = 64 * 256 * 3 // 2
+    for i in range(4):
+        assert eng.feed(Frame(0.0, np.zeros(n, np.uint8), 64, 256, index=i))
+    results = []
+    with eng:
+        eng.drain()
+        while True:
+            r = eng.poll(timeout=0.2)
+            if r is None:
+                break
+            results.append(r)
+    assert results == []
+    snap = eng.metrics.snapshot()
+    assert snap["nan_dropped"] == 4
+    assert snap["frames_out"] == 0
+
+
+def test_nan_guard_passes_good_frames():
+    """Healthy frames flow untouched and the counter stays zero."""
+    cfg = _small_config()
+    eng = StereoEngine(cfg)
+    src = SyntheticStreamSource(height=64, width=128, num_frames=3, paced=False)
+    results = eng.run_stream(src)
+    assert len(results) == 3
+    assert eng.metrics.snapshot()["nan_dropped"] == 0
+
+
+def test_device_microbatch_exactness(rng):
+    """Blockwise serving (device_microbatch): chunked lax.map evaluation
+    inside one compiled program must be bit-identical to the monolithic
+    vmap — the memory-bounded large-batch dispatch mode."""
+    import jax
+
+    cfg0 = _small_config(max_batch=8, batch_buckets=(1, 2, 4, 8))
+    cfgm = _small_config(max_batch=8, batch_buckets=(1, 2, 4, 8),
+                         device_microbatch=2)
+    eng0 = StereoEngine(cfg0)
+    engm = StereoEngine(cfgm, params=jax.device_get(eng0.params))
+    n = 64 * 256 * 3 // 2
+    frames = [
+        Frame(0.0, rng.integers(0, 255, n, dtype=np.uint8).astype(np.uint8),
+              64, 256, index=i)
+        for i in range(8)
+    ]
+
+    def run(eng):
+        for f in frames:
+            assert eng.feed(f) is True
+        out = {}
+        with eng:
+            eng.drain()
+            while True:
+                r = eng.poll(timeout=0.2)
+                if r is None:
+                    break
+                out[r.index] = np.asarray(r.disparity)
+        return out
+
+    d0, dm = run(eng0), run(engm)
+    assert sorted(dm) == list(range(8))
+    for i in d0:
+        np.testing.assert_array_equal(d0[i], dm[i])
+
+
+def test_device_microbatch_bucket_validation():
+    with pytest.raises(ValueError, match="device_microbatch"):
+        EngineConfig(max_batch=8, batch_buckets=(1, 2, 4, 8),
+                     device_microbatch=3)
