@@ -29,12 +29,17 @@ import sys
 import time
 
 
-def main(int8: bool = False) -> None:
+def main(int8: bool = False, streaming: bool = False) -> None:
     from hobot_stereonet_tpu.config import Config, EngineConfig
     from hobot_stereonet_tpu.data.stream import DeviceFrameRing
     from hobot_stereonet_tpu.runtime.engine import StereoEngine
 
-    BATCH = 128
+    # Two regimes (ADVICE r1): default is max-throughput (offline/batch,
+    # the headline).  --streaming caps the dispatch batch so per-batch
+    # latency stays inside a live camera's 66 ms frame budget
+    # (32 x ~1.2 ms marginal + ~25 ms RPC floor ~= 63 ms) — the number a
+    # camera-paced deployment actually sees.
+    BATCH = 32 if streaming else 128
     N_FRAMES = BATCH * 12
 
     cfg = Config(
@@ -88,7 +93,8 @@ def main(int8: bool = False) -> None:
         json.dumps(
             {
                 "metric": "stereo_fps_per_chip_1280x720"
-                + ("_int8" if int8 else ""),
+                + ("_int8" if int8 else "")
+                + ("_streaming" if streaming else ""),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 2),
@@ -98,4 +104,4 @@ def main(int8: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    main(int8="--int8" in sys.argv)
+    main(int8="--int8" in sys.argv, streaming="--streaming" in sys.argv)

@@ -110,8 +110,22 @@ def cmd_infer(args) -> int:
 
     k = 16
     lp, rp = pad_to_multiple(left, k), pad_to_multiple(right, k)
-    eng = _build_engine(args, h=lp.shape[0], w=lp.shape[1])
-    disp = eng.infer(lp, rp)[:h, :w]
+    if getattr(args, "artifact", None):
+        # Deployment path: run the compiled .stereoblob (the .hbm analog) —
+        # no model code, no checkpoint; geometry must match the artifact.
+        from .runtime.artifact import CompiledStereoArtifact
+
+        art = CompiledStereoArtifact(args.artifact)
+        ah, aw = art.manifest["height"], art.manifest["width"]
+        if (lp.shape[0], lp.shape[1]) != (ah, aw):
+            raise SystemExit(
+                f"input {lp.shape[1]}x{lp.shape[0]} != artifact geometry "
+                f"{aw}x{ah} (artifacts are fixed-function, like .hbm blobs)"
+            )
+        disp = art.infer(lp, rp)[:h, :w]
+    else:
+        eng = _build_engine(args, h=lp.shape[0], w=lp.shape[1])
+        disp = eng.infer(lp, rp)[:h, :w]
     print(
         json.dumps(
             {
@@ -221,12 +235,25 @@ def cmd_eval(args) -> int:
         return 2
 
     eng = _build_engine(args)
+    out = {}
+    if getattr(args, "check_determinism", False):
+        # Determinism check (SURVEY §5): the functional core must be
+        # bit-reproducible — same program + same data => identical output.
+        import numpy as np
+
+        s = ds[0]
+        d1, d2 = eng.infer(s.left, s.right), eng.infer(s.left, s.right)
+        out["deterministic"] = bool(np.array_equal(d1, d2))
+        if not out["deterministic"]:
+            print("DETERMINISM CHECK FAILED: identical inputs produced "
+                  "different disparities", file=sys.stderr)
     res = evaluate_dataset(
         eng.model, eng.params, ds, eng.cfg, max_frames=args.frames or 0,
         int8=args.int8,
     )
-    print(json.dumps(res.to_dict()))
-    return 0
+    out.update(res.to_dict())
+    print(json.dumps(out))
+    return 0 if out.get("deterministic", True) else 1
 
 
 def cmd_bench(args) -> int:
@@ -322,6 +349,32 @@ def cmd_train(args) -> int:
         model_cfg=cfg.model,
     )
     print(json.dumps(metrics))
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Compile + serialize the serving pipeline to a .stereoblob (the
+    reference's offline .hbm build step; weights baked in, multi-platform
+    StableHLO, one entry per batch bucket)."""
+    from .runtime.artifact import export_artifact
+
+    cfg = _make_config(args)
+    eng = _build_engine(args)  # resolves model + checkpoint params
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    manifest = export_artifact(
+        args.out, eng.model, eng.params, cfg,
+        buckets=buckets, platforms=tuple(args.platforms.split(",")),
+        int8=args.int8,
+    )
+    import os
+
+    print(json.dumps({
+        "out": args.out,
+        "bytes": os.path.getsize(args.out),
+        "buckets": manifest["buckets"],
+        "platforms": manifest["platforms"],
+        "geometry": f"{manifest['width']}x{manifest['height']}",
+    }))
     return 0
 
 
@@ -448,6 +501,9 @@ def main(argv=None) -> int:
     pi.add_argument("--right", required=True)
     pi.add_argument("--out", default=None, help="composite PNG path")
     pi.add_argument("--checkpoint", default=None)
+    pi.add_argument("--artifact", default=None, metavar="BLOB",
+                    help="run a compiled .stereoblob (stereod export) "
+                         "instead of building the model from code")
     common(pi)
     pi.set_defaults(fn=cmd_infer)
 
@@ -472,6 +528,9 @@ def main(argv=None) -> int:
     pe.add_argument("--eval-seed", type=int, default=777,
                     help="synthetic eval-set seed (disjoint from train seeds)")
     pe.add_argument("--checkpoint", default=None)
+    pe.add_argument("--check-determinism", action="store_true",
+                    help="run the first pair twice and require bit-equal "
+                         "disparities before evaluating")
     common(pe)
     pe.set_defaults(fn=cmd_eval)
 
@@ -507,6 +566,17 @@ def main(argv=None) -> int:
                     help="checkpoint dir to continue training from")
     common(pt)
     pt.set_defaults(fn=cmd_train)
+
+    px = sub.add_parser("export", help="compile + serialize the serving "
+                                       "pipeline to a .stereoblob artifact")
+    px.add_argument("--out", required=True)
+    px.add_argument("--checkpoint", default=None)
+    px.add_argument("--buckets", default="1,8",
+                    help="comma-separated batch sizes to lower (default 1,8)")
+    px.add_argument("--platforms", default="cpu,tpu",
+                    help="lowering platforms baked into the artifact")
+    common(px)
+    px.set_defaults(fn=cmd_export)
 
     pd = sub.add_parser("dump", help="golden-tensor dump of one pair")
     pd.add_argument("--left", required=True)

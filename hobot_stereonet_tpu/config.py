@@ -291,7 +291,10 @@ class Config:
         def enc(obj):
             if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
                 return {f.name: enc(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
-            if obj is jnp.bfloat16 or obj is jnp.float32 or obj is jnp.float16:
+            if isinstance(obj, type):
+                # dtype classes: identity checks like ``obj is jnp.float32``
+                # miss the ml_dtypes/np scalar types a from_dict round-trip
+                # produces, so resolve any scalar type by name.
                 return jnp.dtype(obj).name
             return obj
 

@@ -94,6 +94,7 @@ def nv12_ingest(
     height: int,
     full_width: int,
     cfg: PreprocessConfig = PreprocessConfig(),
+    use_pallas: "bool | None" = None,
 ) -> jnp.ndarray:
     """Backend-dispatching live-stream ingest.
 
@@ -101,10 +102,16 @@ def nv12_ingest(
     (ops/pallas/preprocess_kernel.py) — measured 1.3 ms/frame faster than
     the XLA gather-based NV12 path at 720p.  Elsewhere, or for odd
     geometries or the int8 parity path, it falls back to the jnp version.
+
+    ``use_pallas=False`` forces the portable XLA path regardless of
+    backend — required when the program is lowered for platforms the
+    Mosaic kernel can't target (multi-platform jax.export artifacts).
     """
     width = full_width // 2
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     use_pallas = (
-        jax.default_backend() == "tpu"
+        use_pallas
         and not cfg.quantize
         and cfg.mean == 128.0
         and cfg.std == 128.0

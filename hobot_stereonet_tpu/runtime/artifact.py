@@ -1,0 +1,211 @@
+"""Compiled model artifact: serialized AOT export of the serving pipeline.
+
+The reference deploys a fixed-function compiled blob — a ``.hbm`` file
+produced offline by the vendor toolchain and loaded at node startup
+(``stereonet_infer/launch/hobot_stereonet.launch.py`` ``stereonet_model_
+file_path``; consumed via EasyDNN in ``stereonet_node.cpp`` model-init).
+Weights, graph, and quantization are all baked in; the runtime only feeds
+tensors.
+
+The TPU-native equivalent is a ``jax.export`` StableHLO artifact:
+
+  * the FULL serving pipeline (NV12 bytes -> disparity + depth) traced and
+    lowered once per batch bucket, with the trained params closed over as
+    constants — exactly the ".hbm semantics" (no separate weight files,
+    no Python model code needed at load time);
+  * multi-platform lowering (``cpu`` + ``tpu``) so one artifact runs in CI
+    and on chip;
+  * a plain zip container with a JSON manifest, so the artifact is
+    inspectable with stock tools (the reference blob is opaque).
+
+This kills the remaining gap in C13 (model artifact): a user of the
+reference hands an ``.hbm`` to the node; a user of this framework hands a
+``.stereoblob`` to ``stereod infer --artifact`` / ``ArtifactEngine``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Optional, Sequence, Tuple
+
+FORMAT_VERSION = 1
+MANIFEST = "manifest.json"
+
+
+def _pipeline_fns(model, params, cfg, int8: bool = False,
+                  portable: bool = True):
+    """(nv12_fn, rgb_fn): the two serving contracts, params closed over.
+
+    ``portable=True`` forces the XLA NV12 path: a multi-platform artifact
+    must lower for every platform it declares, and the Mosaic kernel only
+    targets TPU.  A tpu-only export (``platforms=("tpu",)``) keeps the
+    fused Pallas ingest (~1.3 ms/frame faster at 720p)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import preprocess as pp
+    from ..ops.quant import make_apply_fn
+
+    apply_fn = make_apply_fn(model, int8)
+    camera = cfg.camera
+    H, W = camera.height, camera.width
+    use_pallas = False if portable else None
+
+    def nv12_fn(sbs_batch):
+        # [B, H*2W*3/2] uint8 side-by-side NV12 -> (disp [B,H,W], depth [B,H,W])
+        x = jax.vmap(
+            lambda f: pp.nv12_ingest(f, H, 2 * W, cfg.preprocess,
+                                     use_pallas=use_pallas)[0]
+        )(sbs_batch)
+        left, right = pp.split_model_input(x)
+        disp = apply_fn(params, left, right)["disparity"]
+        return disp, camera.depth_from_disparity(disp)
+
+    def rgb_fn(left_u8, right_u8):
+        # [B,H,W,3] uint8 RGB pair -> (disp, depth); same normalize as
+        # ops/preprocess.py (x-128)/128.
+        to_in = lambda u: (u.astype(jnp.float32) - 128.0) / 128.0
+        disp = apply_fn(params, to_in(left_u8), to_in(right_u8))["disparity"]
+        return disp, camera.depth_from_disparity(disp)
+
+    return nv12_fn, rgb_fn
+
+
+def export_artifact(
+    path: str,
+    model,
+    params,
+    cfg,
+    buckets: Sequence[int] = (1, 8),
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    int8: bool = False,
+) -> dict:
+    """Lower + serialize the serving pipeline for each batch bucket and
+    write a ``.stereoblob`` zip.  Returns the manifest dict."""
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    camera = cfg.camera
+    H, W = camera.height, camera.width
+    frame_len = H * (2 * W) * 3 // 2
+    portable = any(p != "tpu" for p in platforms)
+    nv12_fn, rgb_fn = _pipeline_fns(model, params, cfg, int8=int8,
+                                    portable=portable)
+
+    entries = {}
+    for b in sorted(set(int(x) for x in buckets)):
+        exp = jexport.export(jax.jit(nv12_fn), platforms=tuple(platforms))(
+            jax.ShapeDtypeStruct((b, frame_len), jnp.uint8)
+        )
+        entries[f"nv12_b{b}.stablehlo"] = exp.serialize()
+        img = jax.ShapeDtypeStruct((b, H, W, 3), jnp.uint8)
+        exp = jexport.export(jax.jit(rgb_fn), platforms=tuple(platforms))(
+            img, img
+        )
+        entries[f"rgb_b{b}.stablehlo"] = exp.serialize()
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "buckets": sorted(set(int(x) for x in buckets)),
+        "height": H,
+        "width": W,
+        "frame_len": frame_len,
+        "int8": bool(int8),
+        "model": type(model).__name__,
+        "config": cfg.to_dict(),
+        "outputs": ["disparity_px[B,H,W]f32", "depth_m[B,H,W]f32"],
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(MANIFEST, json.dumps(manifest, indent=2))
+        for name, blob in entries.items():
+            z.writestr(name, blob)
+    return manifest
+
+
+class CompiledStereoArtifact:
+    """Loaded ``.stereoblob``: run the baked pipeline with no model code.
+
+    Mirrors the reference's node startup — load blob, introspect tensor
+    properties, feed tensors (``stereonet_node.cpp`` model-init +
+    ``FeedImg``) — except introspection reads a JSON manifest instead of
+    EasyDNN tensor props.  Deserialized entries are cached per bucket;
+    batches pad up to the nearest bucket (same policy as StereoEngine).
+    """
+
+    def __init__(self, path: str):
+        self._zf = zipfile.ZipFile(path, "r")
+        self.manifest = json.loads(self._zf.read(MANIFEST).decode())
+        if self.manifest.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.manifest.get('format_version')} != "
+                f"supported {FORMAT_VERSION}"
+            )
+        self.buckets = list(self.manifest["buckets"])
+        self._cache = {}
+
+    # -- internals ----------------------------------------------------
+    def _entry(self, kind: str, bucket: int):
+        key = (kind, bucket)
+        if key not in self._cache:
+            from jax import export as jexport
+
+            blob = self._zf.read(f"{kind}_b{bucket}.stablehlo")
+            self._cache[key] = jexport.deserialize(bytearray(blob))
+        return self._cache[key]
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        raise ValueError(
+            f"batch {n} exceeds largest exported bucket {self.buckets[-1]}"
+        )
+
+    def _padded(self, arr, bucket: int):
+        import numpy as np
+
+        n = arr.shape[0]
+        if n == bucket:
+            return arr
+        pad = np.zeros((bucket - n,) + arr.shape[1:], dtype=arr.dtype)
+        return np.concatenate([np.asarray(arr), pad], axis=0)
+
+    # -- public surface -------------------------------------------------
+    def run_nv12(self, sbs_batch) -> Tuple["np.ndarray", "np.ndarray"]:
+        """[B, frame_len] uint8 -> (disparity [B,H,W], depth_m [B,H,W])."""
+        import numpy as np
+
+        n = sbs_batch.shape[0]
+        b = self._bucket_for(n)
+        disp, depth = self._entry("nv12", b).call(self._padded(sbs_batch, b))
+        return np.asarray(disp)[:n], np.asarray(depth)[:n]
+
+    def infer(self, left_u8, right_u8):
+        """RGB uint8 pair(s) -> disparity.  Accepts [H,W,3] or [B,H,W,3]."""
+        import numpy as np
+
+        l = np.asarray(left_u8)
+        r = np.asarray(right_u8)
+        single = l.ndim == 3
+        if single:
+            l, r = l[None], r[None]
+        b = self._bucket_for(l.shape[0])
+        disp, _ = self._entry("rgb", b).call(
+            self._padded(l, b), self._padded(r, b)
+        )
+        disp = np.asarray(disp)[: l.shape[0]]
+        return disp[0] if single else disp
+
+    def close(self) -> None:
+        self._zf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -45,7 +45,8 @@ def _build_candidates():
     )
 
 
-def run_one(name: str, steps: int, out_dir: str, batch: int, lr: float) -> dict:
+def run_one(name: str, steps: int, out_dir: str, batch: int, lr: float,
+            resume: bool = False) -> dict:
     import dataclasses
 
     import jax
@@ -62,11 +63,17 @@ def run_one(name: str, steps: int, out_dir: str, batch: int, lr: float) -> dict:
     model_cls = StereoNet if name == "CLASSIC" else FastStereoNet
     model = model_cls(mcfg)
     ckpt_dir = f"{out_dir}/frontier_{name}"
+    import os
+
+    resume_from = ckpt_dir if (resume and os.path.isdir(ckpt_dir)) else None
+    if resume_from:
+        print(f"# resuming {name} params from {ckpt_dir}", file=sys.stderr)
     t0 = time.time()
     metrics = train_synthetic(
         steps=steps, batch_size=batch, crop_hw=(128, 256),
         checkpoint_dir=ckpt_dir, log_every=max(steps // 10, 1), lr=lr,
         seed=0, model=model, model_cfg=mcfg, save_every=2000,
+        resume_from=resume_from,
     )
     train_s = time.time() - t0
 
@@ -100,13 +107,24 @@ if __name__ == "__main__":
     ap.add_argument("--only", default="")
     ap.add_argument("--out", default="frontier_results.json")
     ap.add_argument("--ckpt-dir", default="checkpoints")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume each candidate's params from its checkpoint "
+                         "dir if present (fresh optimizer/schedule)")
+    ap.add_argument("--steps-override", default="",
+                    help="per-candidate step override, e.g. A_base=6000")
     args = ap.parse_args()
 
     _build_candidates()
     names = args.only.split(",") if args.only else list(CANDIDATES)
+    overrides = dict(
+        kv.split("=") for kv in args.steps_override.split(",") if kv
+    )
     results = []
     for n in names:
-        results.append(run_one(n, args.steps, args.ckpt_dir, args.batch, args.lr))
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        steps = int(overrides.get(n, args.steps))
+        results.append(run_one(n, steps, args.ckpt_dir, args.batch, args.lr,
+                               resume=args.resume))
+        # Flush partial results so an interrupted sweep still leaves data.
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
     print(f"wrote {args.out}", file=sys.stderr)
