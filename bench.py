@@ -5,103 +5,86 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 15 fps (ZED 2i real-time, the reference's live camera rate —
 BASELINE.md north star: >=10x => >=150 fps/chip).
 
-Methodology (measured constraints of this rig, see CLAUDE.md):
-  * the RPC tunnel adds a ~25 ms floor per dispatch: the engine's adaptive
-    micro-batching (EngineConfig.max_batch) amortizes it — the serving
-    generalization of the reference's 4-in-flight BPU task pool
-    (stereonet_node.cpp:144);
-  * host<->device over the tunnel moves ~11 MB/s, so frames are pre-staged
-    device buffers (data.stream.DeviceFrameRing — the hbmem zero-copy
-    camera-transport analog, stereonet_node.h:95-97) and results stay
-    device-resident for device-side consumers (EngineConfig.fetch_results
-    =False; completion is confirmed by a scalar probe per batch).  On a
-    directly-attached TPU host both transfers ride PCIe/DMA and neither
-    staging trick is load-bearing.
-  * this is the max-throughput (offline/batch) regime.  The streaming
-    regime (camera-paced, batch ~32 to stay under a 66 ms frame budget)
-    measures lower — see README's two-regime table.
+Regimes:
+  (default)       max-throughput: batch 128/dispatch (offline/batch serving)
+  --streaming     camera-paced: batch 32 so per-batch latency stays inside a
+                  live camera's 66 ms frame budget (32 x ~1.2 ms marginal +
+                  ~25 ms RPC floor ~= 63 ms) — the number a camera-paced
+                  deployment actually sees
+  --int8          w8a8 network path (the reference's network is int8 on the
+                  BPU, preprocess.h:236-240)
+  --stage-timing  split preprocess/network timing (the reference's rt_stat
+                  split, stereonet_node.cpp:1078-1084; syncs per stage, so
+                  throughput in this mode is diagnostic, not headline)
+  --out FILE      also write the full measurement dict as JSON (committed
+                  evidence for README's regime table)
+
+Methodology notes (pre-staged device ring, fused completion probe, RPC
+floor amortization) live in hobot_stereonet_tpu/runtime/benchmark.py.
+NaN-guarded frames are reported, not asserted: the product policy is
+drop-and-continue, and the bench mirrors it.
 """
 
 from __future__ import annotations
 
 import json
 import sys
-import time
 
 
-def main(int8: bool = False, streaming: bool = False) -> None:
-    from hobot_stereonet_tpu.config import Config, EngineConfig
-    from hobot_stereonet_tpu.data.stream import DeviceFrameRing
-    from hobot_stereonet_tpu.runtime.engine import StereoEngine
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    int8 = "--int8" in argv
+    streaming = "--streaming" in argv
+    stage_timing = "--stage-timing" in argv
+    out_path = None
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
 
-    # Two regimes (ADVICE r1): default is max-throughput (offline/batch,
-    # the headline).  --streaming caps the dispatch batch so per-batch
-    # latency stays inside a live camera's 66 ms frame budget
-    # (32 x ~1.2 ms marginal + ~25 ms RPC floor ~= 63 ms) — the number a
-    # camera-paced deployment actually sees.
-    BATCH = 32 if streaming else 128
-    N_FRAMES = BATCH * 12
+    from hobot_stereonet_tpu.runtime.benchmark import measure_engine_fps
 
-    cfg = Config(
-        engine=EngineConfig(
-            max_batch=BATCH,
-            batch_buckets=(1, BATCH),
-            feed_queue_depth=N_FRAMES,
-            drop_on_full=False,
-            inflight=4,
-            fetch_results=False,  # device-side consumers; see module doc
+    res = measure_engine_fps(
+        batch=32 if streaming else 128,
+        n_batches=12,
+        int8=int8,
+        stage_timing=stage_timing,
+        verbose_to=sys.stderr,
+    )
+    if res["nan_dropped"]:
+        print(
+            f"WARNING: {res['nan_dropped']} frames NaN-dropped "
+            "(drop-and-continue policy; fps counts published frames)",
+            file=sys.stderr,
         )
-    )
-    eng = StereoEngine(cfg, compute_depth=False, int8=int8)
-    ring = DeviceFrameRing(
-        height=cfg.camera.height, width=cfg.camera.width, ring_size=4
-    )
-    # Compile exactly the one shape the dispatcher hits: the feed queue is
-    # pre-filled and N_FRAMES is a multiple of BATCH, so every dispatch is a
-    # full bucket.  First-call remote compiles must not land in the measured
-    # steady-state window.
-    t_w = time.perf_counter()
-    eng.warmup(buckets=[BATCH], ring=ring)
-    print(f"warmup/compile: {time.perf_counter() - t_w:.1f}s", file=sys.stderr)
+    if stage_timing and "preprocess_ms" in res:
+        print(
+            f"stage split: preprocess {res['preprocess_ms']} ms/batch, "
+            f"network {res['network_ms']} ms/batch",
+            file=sys.stderr,
+        )
 
-    # Pre-fill the feed queue so the dispatcher sees a sustained backlog
-    # (steady-state serving), then time feed->completion of all frames.
-    frames = list(ring.frames(N_FRAMES))
-    for f in frames:
-        eng.feed(f)
-    t0 = time.perf_counter()
-    eng.start(warmup=False)
-    eng.drain()
-    dt = time.perf_counter() - t0
-    eng.stop()
-
-    snap = eng.metrics.snapshot()
-    assert snap["frames_out"] == N_FRAMES, snap
-    assert snap["dispatch_batch"]["mean"] > 1, (
-        "micro-batching inactive: " + json.dumps(snap["dispatch_batch"])
+    metric = (
+        "stereo_fps_per_chip_1280x720"
+        + ("_int8" if int8 else "")
+        + ("_streaming" if streaming else "")
+        + ("_stage_timing" if stage_timing else "")
     )
-    print(
-        f"engine: {snap['frames_out']} frames, "
-        f"mean dispatch batch {snap['dispatch_batch']['mean']:.1f}, "
-        f"infer latency {snap['infer_latency']['mean_ms']:.1f} ms/batch",
-        file=sys.stderr,
-    )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"metric": metric, **res}, f, indent=2)
+        print(f"wrote {out_path}", file=sys.stderr)
 
-    fps = N_FRAMES / dt
     baseline_fps = 15.0
     print(
         json.dumps(
             {
-                "metric": "stereo_fps_per_chip_1280x720"
-                + ("_int8" if int8 else "")
-                + ("_streaming" if streaming else ""),
-                "value": round(fps, 2),
+                "metric": metric,
+                "value": res["fps"],
                 "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 2),
+                "vs_baseline": round(res["fps"] / baseline_fps, 2),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main(int8="--int8" in sys.argv, streaming="--streaming" in sys.argv)
+    main()

@@ -149,10 +149,22 @@ def cmd_stream(args) -> int:
     from .utils.profiling import device_trace
 
     serve_port = getattr(args, "serve", None)
-    eng = _build_engine(args, keep_left=serve_port is not None)
+    if getattr(args, "artifact", None):
+        # Deployment serving: the async feed/poll loop over a compiled
+        # .stereoblob — the reference's node-around-a-.hbm runtime shape.
+        if serve_port is not None:
+            raise SystemExit("--serve needs the live engine (left-view "
+                             "decode); run without --artifact")
+        from .runtime.artifact import ArtifactEngine
+
+        eng = ArtifactEngine(args.artifact)
+        h, w = eng.height, eng.width
+    else:
+        eng = _build_engine(args, keep_left=serve_port is not None)
+        h, w = eng.cfg.camera.height, eng.cfg.camera.width
     src = SyntheticStreamSource(
-        height=eng.cfg.camera.height,
-        width=eng.cfg.camera.width,
+        height=h,
+        width=w,
         fps=args.fps,
         num_frames=args.frames,
         paced=not args.unpaced,
@@ -314,7 +326,8 @@ def cmd_slam(args) -> int:
     if args.loop_closure:
         from .slam.pose_graph import close_loops
 
-        loops = int(close_loops(slam) is not None)
+        res = close_loops(slam)
+        loops = len(res["loops"]) if res is not None else 0
 
     est = np.stack(slam.state.trajectory)
     ate = absolute_trajectory_error(est, gt_centers)
@@ -517,6 +530,9 @@ def main(argv=None) -> int:
     ps.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="serve a live MJPEG browser view (left|depth "
                          "composite) on this port")
+    ps.add_argument("--artifact", default=None, metavar="BLOB",
+                    help="serve a compiled .stereoblob (ArtifactEngine) "
+                         "instead of building the model from code")
     common(ps)
     ps.set_defaults(fn=cmd_stream)
 

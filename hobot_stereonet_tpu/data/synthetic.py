@@ -299,6 +299,131 @@ class LayeredScene:
         return np.array([tx_m, ty_m, 0.0], np.float32)
 
 
+def generate_layered_hard(
+    rng: np.random.Generator,
+    height: int,
+    width: int,
+    focal_px: float = 320.0,
+    baseline_m: float = 0.25,
+    depths_m: Tuple[float, ...] = (16.0, 9.0, 5.0, 3.2, 2.2),
+    texture_scales: Tuple[int, ...] = (4, 8, 16, 32),
+    max_rel_slant: float = 0.5,
+    frontal_prob: float = 0.3,
+    patches_per_depth: int = 2,
+    photometric_asymmetry: bool = True,
+    gain_range: float = 0.18,
+    bias_range: float = 12.0,
+    vignette_max: float = 0.25,
+    gamma_range: float = 0.25,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hardened cross-distribution family: slanted metric planes + stronger
+    per-eye photometrics (round-2 verdict: the fronto-parallel layered set
+    was strictly *easier* than training; this one is not).
+
+    Family identity vs. the training generator (``generate_pair``): layers
+    are planes at metric depths (d0 = f*B/Z), disparity fields are exactly
+    affine (a 3D plane's disparity is affine in image coordinates — no
+    curvature term), textures are the LayeredScene kron+detail style, and
+    there is NO sensor noise.  What makes it harder than round 2's version:
+
+      * mixed slants — each plane tilts (affine disparity gradient up to
+        ``max_rel_slant * d0`` of variation across its extent) with
+        probability 1 - ``frontal_prob``;
+      * right-eye photometrics the training distribution never shows:
+        stronger gain/bias/vignette plus a GAMMA mismatch (nonlinear —
+        training augmentation is affine-only, see loader.color_jitter).
+
+    The right view is rendered by a CLOSED-FORM inverse warp: for affine
+    d(x, y) the equation x_l - d(x_l, y) = x_r is linear in x_l, so GT
+    disparity is exact to float precision (no fixed-point iteration).
+    Returns (left u8 [H,W,3], right u8, disparity f32 [H,W]).
+    """
+    h, w = height, width
+    fb = focal_px * baseline_m
+    depths = sorted(depths_m, reverse=True)  # far -> near
+    pad = int(np.ceil(fb / min(depths) * 1.6)) + 8
+
+    ys2 = np.broadcast_to(np.arange(h, dtype=np.float32)[:, None], (h, w))
+    xs2 = np.broadcast_to(np.arange(w, dtype=np.float32)[None, :], (h, w))
+
+    def _plane(d0: float, bx: float, by: float, bw: float, bh: float):
+        """Affine disparity plane centered on a bbox, variation capped at
+        max_rel_slant * d0 so disparity stays positive layer-wide."""
+        if rng.random() < frontal_prob:
+            return d0, 0.0, 0.0, 0.0, 0.0
+        gx = float(rng.uniform(-0.3, 0.3))
+        gy = float(rng.uniform(-0.3, 0.3))
+        cx, cy = bx + bw / 2.0, by + bh / 2.0
+        var = abs(gx) * bw / 2.0 + abs(gy) * bh / 2.0
+        limit = max_rel_slant * d0
+        if var > limit and var > 0:
+            s = limit / var
+            gx, gy = gx * s, gy * s
+        return d0, gx, gy, cx, cy
+
+    # (canvas [h, w+2p, 3], mask, (d0, gx, gy, cx, cy)) far -> near
+    layers = []
+    for li, z in enumerate(depths):
+        d0 = fb / z
+        if li == 0:
+            tex = _texture(rng, h, w + 2 * pad, texture_scales)
+            tex += rng.uniform(-12, 12, tex.shape)
+            layers.append((tex, np.ones((h, w + 2 * pad), bool),
+                           _plane(d0, 0.0, 0.0, float(w), float(h))))
+            continue
+        canvas = np.zeros((h, w + 2 * pad, 3), np.float32)
+        mask = np.zeros((h, w + 2 * pad), bool)
+        ux0, uy0, ux1, uy1 = w, h, 0, 0  # union bbox of the layer's patches
+        for _ in range(patches_per_depth):
+            lw = int(rng.integers(w // 6, w // 2))
+            lh = int(rng.integers(h // 6, h // 2))
+            x0 = int(rng.integers(0, w - 8))
+            y0 = int(rng.integers(0, h - 8))
+            x1, y1 = min(x0 + lw, w), min(y0 + lh, h)
+            patch = _texture(rng, y1 - y0, x1 - x0, texture_scales)
+            patch += rng.uniform(-12, 12, patch.shape)
+            canvas[y0:y1, pad + x0 : pad + x1] = patch
+            mask[y0:y1, pad + x0 : pad + x1] = True
+            ux0, uy0 = min(ux0, x0), min(uy0, y0)
+            ux1, uy1 = max(ux1, x1), max(uy1, y1)
+        # The slant cap spans the union bbox so disparity stays positive
+        # over EVERY patch of this layer, not just the last one placed.
+        layers.append((canvas, mask,
+                       _plane(d0 * float(rng.uniform(0.9, 1.1)),
+                              float(ux0), float(uy0),
+                              float(ux1 - ux0), float(uy1 - uy0))))
+
+    left = np.zeros((h, w, 3), np.float32)
+    right = np.zeros((h, w, 3), np.float32)
+    disp = np.zeros((h, w), np.float32)
+    for canvas, mask, (d0, gx, gy, cx, cy) in layers:
+        d_here = (d0 + gx * (xs2 - cx) + gy * (ys2 - cy)).astype(np.float32)
+        lm = mask[:, pad : pad + w]
+        left = np.where(lm[..., None], canvas[:, pad : pad + w], left)
+        disp = np.where(lm, d_here, disp)
+        # Closed-form inverse warp: x_l (1 - gx) = x_r + d0 - gx cx + gy (y - cy).
+        xl = (xs2 + d0 - gx * cx + gy * (ys2 - cy)) / (1.0 - gx)
+        rt, rm = _sample_row_bilinear(canvas, mask, xl + pad)
+        right = np.where(rm[..., None], rt, right)
+
+    if photometric_asymmetry:
+        gamma = 1.0 + float(rng.uniform(-gamma_range, gamma_range))
+        right = 255.0 * np.power(np.clip(right, 0.0, 255.0) / 255.0, gamma)
+        gain = 1.0 + float(rng.uniform(-gain_range, gain_range))
+        bias = float(rng.uniform(-bias_range, bias_range))
+        right = right * gain + bias
+        vstr = float(rng.uniform(0, vignette_max))
+        if vstr > 0:
+            r2 = ((ys2 - h / 2) / (h / 2)) ** 2 + ((xs2 - w / 2) / (w / 2)) ** 2
+            right = right * (1.0 - vstr * r2 / 2.0)[..., None]
+
+    return (
+        np.clip(left, 0, 255).astype(np.uint8),
+        np.clip(right, 0, 255).astype(np.uint8),
+        disp,
+    )
+
+
 def _bilinear_crop(tex: np.ndarray, mask: np.ndarray, y0: float, x0: float,
                    h: int, w: int):
     """Sample tex[y0:y0+h, x0:x0+w] with bilinear interpolation; mask is

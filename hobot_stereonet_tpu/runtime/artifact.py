@@ -20,15 +20,19 @@ The TPU-native equivalent is a ``jax.export`` StableHLO artifact:
 
 This kills the remaining gap in C13 (model artifact): a user of the
 reference hands an ``.hbm`` to the node; a user of this framework hands a
-``.stereoblob`` to ``stereod infer --artifact`` / ``ArtifactEngine``.
+``.stereoblob`` to ``stereod infer/stream --artifact`` or wraps it in
+:class:`ArtifactEngine` for the async feed/poll serving loop.
 """
 
 from __future__ import annotations
 
 import io
 import json
+import queue
+import threading
+import time
 import zipfile
-from typing import Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 FORMAT_VERSION = 1
 MANIFEST = "manifest.json"
@@ -176,13 +180,20 @@ class CompiledStereoArtifact:
         return np.concatenate([np.asarray(arr), pad], axis=0)
 
     # -- public surface -------------------------------------------------
+    def call_nv12_async(self, sbs_batch) -> Tuple:
+        """[B<=bucket, frame_len] uint8 -> device-resident (disp, depth)
+        padded to the bucket — the async building block ArtifactEngine
+        pipelines on (results stay in flight until the fetch side reads
+        them; ``run_nv12`` is the synchronous wrapper)."""
+        b = self._bucket_for(sbs_batch.shape[0])
+        return self._entry("nv12", b).call(self._padded(sbs_batch, b))
+
     def run_nv12(self, sbs_batch) -> Tuple["np.ndarray", "np.ndarray"]:
         """[B, frame_len] uint8 -> (disparity [B,H,W], depth_m [B,H,W])."""
         import numpy as np
 
         n = sbs_batch.shape[0]
-        b = self._bucket_for(n)
-        disp, depth = self._entry("nv12", b).call(self._padded(sbs_batch, b))
+        disp, depth = self.call_nv12_async(sbs_batch)
         return np.asarray(disp)[:n], np.asarray(depth)[:n]
 
     def infer(self, left_u8, right_u8):
@@ -209,3 +220,223 @@ class CompiledStereoArtifact:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class ArtifactEngine:
+    """Async streaming engine over a loaded ``.stereoblob`` — the
+    deployment-side serving loop.
+
+    This is what the reference's runtime actually is: a node wrapped around
+    a pre-compiled blob with an async task pool (``StereonetNode`` +
+    ``dnn_node`` ``task_num=4``, ``stereonet_node.cpp:129-147``) — no model
+    code, no checkpoint, just feed tensors.  Same surface as
+    :class:`~.engine.StereoEngine` (feed/poll/results/run_stream, metrics,
+    NaN-frame guard, geometry validation + drop) so downstream consumers
+    are engine-agnostic; micro-batching pads to the artifact's exported
+    buckets.
+
+    Kept deliberately simpler than StereoEngine: host-resident results
+    only (this is the cross-process deployment path — the reference also
+    publishes host buffers), no mesh (artifacts are single-device
+    fixed-function programs, like ``.hbm`` blobs).
+    """
+
+    def __init__(self, artifact, inflight: int = 4,
+                 feed_queue_depth: int = 64, drop_on_full: bool = True,
+                 nan_guard: bool = True, max_batch: Optional[int] = None):
+        import numpy as np
+
+        self.artifact = (
+            artifact
+            if isinstance(artifact, CompiledStereoArtifact)
+            else CompiledStereoArtifact(artifact)
+        )
+        m = self.artifact.manifest
+        self.height, self.width = m["height"], m["width"]
+        self._expected_len = m["frame_len"]
+        self.max_batch = max_batch or max(self.artifact.buckets)
+        if self.max_batch not in self.artifact.buckets:
+            raise ValueError(
+                f"max_batch={self.max_batch} not an exported bucket "
+                f"{self.artifact.buckets}"
+            )
+        self.nan_guard = nan_guard
+        self.drop_on_full = drop_on_full
+
+        from .metrics import EngineMetrics
+
+        self.metrics = EngineMetrics()
+        self._feed_q: "queue.Queue" = queue.Queue(maxsize=feed_queue_depth)
+        self._inflight_q: "queue.Queue" = queue.Queue(maxsize=max(inflight, 1))
+        self._result_q: "queue.Queue" = queue.Queue()
+        self._in_progress = 0
+        self._in_progress_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads: list = []
+
+    # -- lifecycle ------------------------------------------------------
+    def warmup(self) -> None:
+        import numpy as np
+
+        dummy = np.zeros((self.max_batch, self._expected_len), np.uint8)
+        d, _ = self.artifact.call_nv12_async(dummy)
+        np.asarray(d)
+
+    def start(self, warmup: bool = True) -> "ArtifactEngine":
+        if warmup:
+            self.warmup()
+        self._stop.clear()
+        self._threads = [
+            threading.Thread(target=self._dispatch_loop, daemon=True,
+                             name="artifact-dispatch"),
+            threading.Thread(target=self._fetch_loop, daemon=True,
+                             name="artifact-fetch"),
+        ]
+        for t in self._threads:
+            t.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=30.0)
+        self._threads = []
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- producer/consumer (same contract as StereoEngine) ---------------
+    def feed(self, frame) -> bool:
+        import numpy as np
+
+        buf = frame.sbs_nv12
+        if (
+            buf.dtype != np.uint8
+            or buf.size != self._expected_len
+            or frame.full_width != 2 * self.width
+            or frame.height != self.height
+        ):
+            self.metrics.reject()
+            return False
+        self.metrics.input_fps.tick()
+        try:
+            self._feed_q.put_nowait(frame)
+            return True
+        except queue.Full:
+            if self.drop_on_full:
+                self.metrics.drop()
+                return False
+            self._feed_q.put(frame)
+            return True
+
+    def poll(self, timeout: Optional[float] = None):
+        try:
+            return self._result_q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def _idle(self) -> bool:
+        with self._in_progress_lock:
+            busy = self._in_progress
+        return busy == 0 and self._feed_q.empty() and self._inflight_q.empty()
+
+    def drain(self) -> None:
+        while not self._idle():
+            time.sleep(0.005)
+
+    def results(self, timeout: float = 5.0) -> Iterator:
+        while True:
+            res = self.poll(timeout=timeout)
+            if res is None:
+                if self._stop.is_set() or self._idle():
+                    return
+                continue
+            yield res
+
+    def run_stream(self, source, max_frames: int = 0) -> list:
+        out = []
+        with self:
+            n = 0
+            for frame in source:
+                self.feed(frame)
+                n += 1
+                if max_frames and n >= max_frames:
+                    break
+                while True:
+                    r = self.poll(timeout=0)
+                    if r is None:
+                        break
+                    out.append(r)
+            self.drain()
+            while True:
+                r = self.poll(timeout=0.2)
+                if r is None:
+                    break
+                out.append(r)
+        return out
+
+    # -- workers ----------------------------------------------------------
+    def _dispatch_loop(self) -> None:
+        import numpy as np
+
+        while not self._stop.is_set():
+            try:
+                frames = [self._feed_q.get(timeout=0.1)]
+            except queue.Empty:
+                continue
+            with self._in_progress_lock:
+                self._in_progress += 1
+            while len(frames) < self.max_batch:
+                try:
+                    frames.append(self._feed_q.get_nowait())
+                except queue.Empty:
+                    break
+            t0 = time.monotonic()
+            batch = np.stack([np.asarray(f.sbs_nv12) for f in frames])
+            disp, depth = self.artifact.call_nv12_async(batch)
+            self._inflight_q.put((frames, disp, depth, t0))
+            self.metrics.dispatch_batch.record(len(frames))
+            with self._in_progress_lock:
+                self._in_progress -= 1
+
+    def _fetch_loop(self) -> None:
+        import numpy as np
+
+        from .engine import StereoResult
+
+        while not self._stop.is_set():
+            try:
+                frames, disp, depth, t0 = self._inflight_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            with self._in_progress_lock:
+                self._in_progress += 1
+            disp_out = np.asarray(disp)
+            depth_out = np.asarray(depth)
+            now = time.monotonic()
+            self.metrics.infer_latency.record(now - t0)
+            bad = ~np.isfinite(disp_out).all(axis=(1, 2))
+            emitted = 0
+            for i, frame in enumerate(frames):
+                if self.nan_guard and bad[i]:
+                    self.metrics.nan_drop()
+                    continue
+                self.metrics.e2e_latency.record(now - frame.timestamp)
+                self._result_q.put(
+                    StereoResult(
+                        index=frame.index,
+                        timestamp=frame.timestamp,
+                        disparity=disp_out[i],
+                        depth_m=depth_out[i],
+                        gt_disparity=frame.gt_disparity,
+                        e2e_latency_s=now - frame.timestamp,
+                    )
+                )
+                emitted += 1
+            if emitted:
+                self.metrics.output_fps.tick(emitted)
+            with self._in_progress_lock:
+                self._in_progress -= 1

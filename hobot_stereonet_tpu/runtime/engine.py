@@ -295,7 +295,13 @@ class StereoEngine:
             # mode the smallest valid bucket is the data-axis size, not 1).
             buckets = sorted({self._buckets[0], self._buckets[-1]})
         for b in buckets:
-            if ring is not None and self.mesh is None:
+            if self.cfg.engine.stage_timing:
+                # The stage-timing dispatch path runs the split two-dispatch
+                # variant, not the fused pipeline — compile what it will hit.
+                dummy = jnp.asarray(np.zeros((b, self._expected_len), np.uint8))
+                x = self._pre_stage(dummy)
+                _, _, probe = self._net_stage(self.params, x)
+            elif ring is not None and self.mesh is None:
                 idx = jnp.asarray(np.zeros((b,), np.int32))
                 _, _, probe = self._pipeline_ring(self.params, ring.data, idx)
             else:

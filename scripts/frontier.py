@@ -1,13 +1,17 @@
-"""Quality/fps frontier: train candidate FastStereoNet configs on the hard
-synthetic distribution, evaluate in-distribution (held-out seed) AND
-cross-distribution (LayeredScene family), and emit one JSON per config.
+"""Quality/fps frontier: train candidate configs on the hard synthetic
+distribution at EQUAL step budgets, evaluate in-distribution (held-out
+seed) AND cross-distribution (hard layered family), measure serving fps
+THROUGH the engine per candidate, and emit ONE results JSON.
 
-Round-2 items (VERDICT.md Next #2/#8): break the circular accuracy story
-and spend the perf headroom on the best-EPE config that holds fps >= 300.
+Round-3 items (VERDICT r2 Next #1/#2 + Weak #2): finish the sweep (CLASSIC
+and C_big were defined but never trained), equal budgets for every
+candidate, and per-candidate fps as committed JSON instead of code
+comments.  The flagship is the best-held-out-EPE candidate whose engine
+fps >= 300 (scripts/crown.py applies the choice to config defaults).
 
 Usage:
-  python scripts/frontier.py [--steps 12000] [--only A_base,C_big] \
-      [--out frontier_results.json]
+  python scripts/frontier.py [--steps 8000] [--only A_base,C_big] \
+      [--out frontier_results.json] [--no-fps]
 """
 
 import argparse
@@ -19,37 +23,47 @@ sys.path.insert(0, "/root/repo")
 
 
 CANDIDATES = {}
+# Serving-measurement overrides: CLASSIC's hierarchical full-res refinement
+# can't hold batch-128 activations in HBM at 720p, so it serves blockwise
+# (device_microbatch: lax.map chunks inside ONE dispatch — activation
+# memory bounded by the chunk, RPC amortization kept at the full bucket).
+FPS_OPTS = {"CLASSIC": {"batch": 128, "device_microbatch": 16}}
 
 
 def _build_candidates():
     from hobot_stereonet_tpu.config import StereoNetConfig
 
+    # Explicit literals, NOT StereoNetConfig() defaults: crowning a flagship
+    # rewrites the defaults (scripts/crown.py), and candidate identities
+    # must not drift with them.
+    base = dict(
+        downsample_factor=3, feature_channels=32, num_feature_res_blocks=6,
+        max_disparity=192, num_aggregation_layers=4, aggregation_channels=32,
+    )
     CANDIDATES.update(
         {
-            # round-1 flagship size (fps 628 @ batch-32-amortized, measured)
-            "A_base": StereoNetConfig(),
-            # fps 462 measured
-            "B_wider": StereoNetConfig(feature_channels=48,
-                                       aggregation_channels=96,
-                                       num_aggregation_layers=6),
-            # fps 385 measured — largest config clearing the 300 fps floor
-            "C_big": StereoNetConfig(feature_channels=64,
-                                     aggregation_channels=128,
-                                     num_aggregation_layers=8,
-                                     num_feature_res_blocks=8),
-            # classic StereoNet-paper build (3D-conv aggregation +
-            # hierarchical refinement) — VERDICT r1 Missing #2: the parity
-            # model had no trained weights and no measured EPE.
-            "CLASSIC": StereoNetConfig(),
+            "A_base": StereoNetConfig(**base),
+            "B_wider": StereoNetConfig(**{**base,
+                                          "feature_channels": 48,
+                                          "aggregation_channels": 96,
+                                          "num_aggregation_layers": 6}),
+            "C_big": StereoNetConfig(**{**base,
+                                        "feature_channels": 64,
+                                        "aggregation_channels": 128,
+                                        "num_aggregation_layers": 8,
+                                        "num_feature_res_blocks": 8}),
+            # Classic StereoNet-paper build (3D-conv aggregation +
+            # hierarchical refinement) — the reference-parity model
+            # (/root/reference/README.md:5).
+            "CLASSIC": StereoNetConfig(**{**base, "upsample_mode": "refine"}),
         }
     )
 
 
 def run_one(name: str, steps: int, out_dir: str, batch: int, lr: float,
-            resume: bool = False) -> dict:
+            resume: bool = False, measure_fps: bool = True) -> dict:
     import dataclasses
-
-    import jax
+    import os
 
     from hobot_stereonet_tpu.config import Config
     from hobot_stereonet_tpu.data.loader import (
@@ -63,7 +77,6 @@ def run_one(name: str, steps: int, out_dir: str, batch: int, lr: float,
     model_cls = StereoNet if name == "CLASSIC" else FastStereoNet
     model = model_cls(mcfg)
     ckpt_dir = f"{out_dir}/frontier_{name}"
-    import os
 
     resume_from = ckpt_dir if (resume and os.path.isdir(ckpt_dir)) else None
     if resume_from:
@@ -80,7 +93,7 @@ def run_one(name: str, steps: int, out_dir: str, batch: int, lr: float,
     params = ckpt.load_params(ckpt_dir)
     cfg = dataclasses.replace(Config(), model=mcfg)
     ds_in = SyntheticStereoDataset(size=24, seed=777, height=256, width=512)
-    ds_x = LayeredSceneDataset(size=24)
+    ds_x = LayeredSceneDataset(size=24)  # hard family (slants + gamma)
     res_in = evaluate_dataset(model, params, ds_in, cfg)
     res_x = evaluate_dataset(model, params, ds_x, cfg)
     out = {
@@ -95,13 +108,24 @@ def run_one(name: str, steps: int, out_dir: str, batch: int, lr: float,
         "cross_d1": res_x.to_dict()["d1_all"],
         "checkpoint": ckpt_dir,
     }
+    if measure_fps:
+        from hobot_stereonet_tpu.runtime.benchmark import measure_engine_fps
+
+        fps = measure_engine_fps(
+            model=model, params=params, model_cfg=mcfg,
+            n_batches=6, verbose_to=sys.stderr,
+            **FPS_OPTS.get(name, {"batch": 128}),
+        )
+        out["engine_fps"] = fps["fps"]
+        out["fps_detail"] = fps
     print(json.dumps(out), flush=True)
     return out
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--steps", type=int, default=8000,
+                    help="EQUAL training budget for every candidate")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--only", default="")
@@ -110,20 +134,18 @@ if __name__ == "__main__":
     ap.add_argument("--resume", action="store_true",
                     help="resume each candidate's params from its checkpoint "
                          "dir if present (fresh optimizer/schedule)")
-    ap.add_argument("--steps-override", default="",
-                    help="per-candidate step override, e.g. A_base=6000")
+    ap.add_argument("--no-fps", action="store_true",
+                    help="skip the per-candidate engine fps measurement "
+                         "(e.g. when running on CPU)")
     args = ap.parse_args()
 
     _build_candidates()
     names = args.only.split(",") if args.only else list(CANDIDATES)
-    overrides = dict(
-        kv.split("=") for kv in args.steps_override.split(",") if kv
-    )
     results = []
     for n in names:
-        steps = int(overrides.get(n, args.steps))
-        results.append(run_one(n, steps, args.ckpt_dir, args.batch, args.lr,
-                               resume=args.resume))
+        results.append(run_one(n, args.steps, args.ckpt_dir, args.batch,
+                               args.lr, resume=args.resume,
+                               measure_fps=not args.no_fps))
         # Flush partial results so an interrupted sweep still leaves data.
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)

@@ -93,6 +93,63 @@ def test_nv12_entry_and_bucket_padding(small, blob_path, rng):
     np.testing.assert_allclose(disp[0], d0[0], rtol=2e-4, atol=5e-3)
 
 
+def test_artifact_engine_serves_stream(blob_path):
+    """ArtifactEngine: the async feed/poll loop over a loaded blob must
+    micro-batch to the exported bucket and agree bit-for-bit with the
+    synchronous run_nv12 (same deserialized program, same batch)."""
+    from hobot_stereonet_tpu.data.stream import SyntheticStreamSource
+    from hobot_stereonet_tpu.runtime.artifact import ArtifactEngine
+
+    frames = list(SyntheticStreamSource(height=H, width=W, num_frames=4,
+                                        paced=False))
+    eng = ArtifactEngine(blob_path)
+    assert (eng.height, eng.width, eng.max_batch) == (H, W, 4)
+    for f in frames:
+        assert eng.feed(f)
+    eng.start()
+    eng.drain()
+    results = sorted(
+        (eng.poll(timeout=1.0) for _ in range(4)), key=lambda r: r.index
+    )
+    eng.stop()
+
+    assert [r.index for r in results] == [0, 1, 2, 3]
+    assert eng.metrics.dispatch_batch.summary()["max"] == 4  # micro-batched
+    batch = np.stack([np.asarray(f.sbs_nv12) for f in frames])
+    with CompiledStereoArtifact(blob_path) as art:
+        want_disp, want_depth = art.run_nv12(batch)
+    for i, r in enumerate(results):
+        np.testing.assert_array_equal(r.disparity, want_disp[i])
+        np.testing.assert_array_equal(r.depth_m, want_depth[i])
+        assert r.gt_disparity is not None  # propagated for eval-over-stream
+
+
+def test_artifact_engine_rejects_bad_geometry(blob_path):
+    from hobot_stereonet_tpu.data.stream import Frame
+    from hobot_stereonet_tpu.runtime.artifact import ArtifactEngine
+
+    eng = ArtifactEngine(blob_path)
+    bad = Frame(0.0, np.zeros(100, np.uint8), H, 2 * W)
+    assert not eng.feed(bad)
+    assert eng.metrics.invalid == 1
+    with pytest.raises(ValueError, match="not an exported bucket"):
+        ArtifactEngine(blob_path, max_batch=16)
+
+
+def test_cli_stream_artifact(blob_path, capsys):
+    """stereod stream --artifact serves the blob end to end."""
+    import json as _json
+
+    from hobot_stereonet_tpu.cli import main as cli_main
+
+    rc = cli_main(["stream", "--frames", "3", "--unpaced",
+                   "--artifact", blob_path])
+    assert rc == 0
+    snap = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert snap["frames_out"] == 3
+    assert "epe_px" in snap  # GT rode through the artifact engine
+
+
 def test_oversize_batch_and_bad_geometry_rejected(small, blob_path, rng):
     frame_len = H * (2 * W) * 3 // 2
     with CompiledStereoArtifact(blob_path) as art:

@@ -133,6 +133,98 @@ def test_synthetic_gt_consistent_with_slant():
     assert err.mean() < 6.0
 
 
+def _backwarp_err(l, r, d):
+    """Mean |left - warp(right, d)| over unoccluded/off-edge pixels (the GT
+    exactness check shared by the generator-consistency tests)."""
+    lf, rf = l.astype(np.float32), r.astype(np.float32)
+    h, w = d.shape
+    xs = np.arange(w)[None, :].repeat(h, axis=0).astype(np.float32)
+    src = xs - d
+    x0 = np.floor(src).astype(np.int64)
+    frac = (src - x0)[..., None]
+    valid = (x0 >= 0) & (x0 + 1 < w)
+    x0c, x1c = np.clip(x0, 0, w - 1), np.clip(x0 + 1, 0, w - 1)
+    rows = np.arange(h)[:, None].repeat(w, axis=1)
+    recon = rf[rows, x0c] * (1 - frac) + rf[rows, x1c] * frac
+    occluded = np.zeros_like(valid)
+    for off in range(1, int(np.ceil(d.max())) + 1):
+        shifted = np.pad(d, ((0, 0), (0, off)), mode="edge")[:, off:]
+        occluded |= shifted >= d + off - 0.5
+    edges = np.abs(np.diff(d, axis=1, prepend=d[:, :1])) > 0.5
+    for off in range(1, 3):
+        edges |= np.pad(edges, ((0, 0), (off, 0)))[:, :-off]
+        edges |= np.pad(edges, ((0, 0), (0, off)))[:, off:]
+    mask = valid & ~occluded & ~edges
+    assert mask.mean() > 0.3
+    return np.abs(recon - lf).mean(axis=-1)[mask].mean()
+
+
+def test_layered_hard_gt_is_exact():
+    """Closed-form inverse warp: GT disparity must reconstruct the left view
+    from the right (photometrics off) — and far better than off-by-2 GT."""
+    rng = np.random.default_rng(21)
+    l, r, d = synthetic.generate_layered_hard(
+        rng, 96, 192, photometric_asymmetry=False
+    )
+    assert d.min() > 0  # slant cap keeps disparity positive layer-wide
+    err = _backwarp_err(l, r, d)
+    assert err < 6.0
+    err_bad = _backwarp_err(l, r, d + 2.0)
+    assert err_bad > 3.0 * err
+
+
+def test_layered_hard_has_mixed_slants():
+    """Disparity must vary smoothly *within* planes (affine slant), with
+    some fronto-parallel planes mixed in."""
+    rng = np.random.default_rng(4)
+    _, _, d = synthetic.generate_layered_hard(
+        rng, 96, 192, frontal_prob=0.3, photometric_asymmetry=False
+    )
+    gx = np.abs(np.diff(d, axis=1))
+    smooth_varying = (gx > 1e-5) & (gx < 0.5)
+    assert smooth_varying.mean() > 0.3, "no slanted planes rendered"
+
+
+def test_layered_hard_photometric_asymmetry_is_nonlinear():
+    """Right eye gets gamma + gain/bias/vignette; left and GT unchanged.
+    Gamma is the non-affine component the training distribution never
+    shows — verify the L/R intensity map is not a pure affine fit."""
+    kw = dict(height=64, width=128)
+    l0, r0, d0 = synthetic.generate_layered_hard(
+        np.random.default_rng(9), photometric_asymmetry=False, **kw
+    )
+    l1, r1, d1 = synthetic.generate_layered_hard(
+        np.random.default_rng(9), photometric_asymmetry=True,
+        gamma_range=0.25, **kw
+    )
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_array_equal(d0, d1)
+    a, b = r0.astype(np.float64).ravel(), r1.astype(np.float64).ravel()
+    assert np.abs(a - b).mean() > 0.5
+    # Residual of the best affine fit b ~ k*a + c: zero iff asymmetry were
+    # affine-only.  (Seed 9 draws |gamma-1| ~ 0.19; clipping at 0/255 adds
+    # a little extra nonlinearity, which only helps the margin.)
+    k, c = np.polyfit(a, b, 1)
+    resid = np.abs(b - (k * a + c)).mean()
+    assert resid > 1.0, "photometric asymmetry collapsed to an affine map"
+
+
+def test_layered_dataset_modes():
+    """hard=True (default) and hard=False are both deterministic per index
+    and produce valid samples."""
+    ds_hard = loader.LayeredSceneDataset(size=2, height=64, width=128)
+    ds_soft = loader.LayeredSceneDataset(size=2, height=64, width=128, hard=False)
+    a, b = ds_hard[0], loader.LayeredSceneDataset(size=2, height=64, width=128)[0]
+    np.testing.assert_array_equal(a.left, b.left)
+    assert a.disparity.min() > 0
+    s = ds_soft[0]
+    assert s.left.shape == (64, 128, 3)
+    # The two modes are different generators.
+    assert np.abs(
+        a.left.astype(np.float32) - s.left.astype(np.float32)
+    ).mean() > 1.0
+
+
 def test_pfm_roundtrip(tmp_path, rng):
     disp = rng.uniform(0, 100, size=(16, 32)).astype(np.float32)
     p = str(tmp_path / "d.pfm")

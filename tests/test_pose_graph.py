@@ -270,6 +270,81 @@ def _inject_drift(slam, per_kf_twist):
             slam.state.trajectory[fi] = slam._center(Rn, tn)
 
 
+def _double_loop_run(seed=21):
+    """Two out-and-back excursions over the same ground: the final keyframe
+    revisits BOTH the start (kf ~0) and the mid-trajectory return (kf ~n/2),
+    so one detect_loops call can accept two distinct loop edges."""
+    from hobot_stereonet_tpu.data.synthetic import LayeredScene
+    from hobot_stereonet_tpu.slam.tracker import StereoSLAM
+
+    cam = CameraConfig(width=320, height=240, focal_px=300.0, baseline_mm=120.0)
+    rng = np.random.default_rng(seed)
+    scene = LayeredScene(rng, cam.height, cam.width, cam.focal_px, cam.baseline_m)
+    slam = StereoSLAM(
+        cam, SLAMConfig(keyframe_translation_m=0.05, ba_iterations=6,
+                        max_keyframes=64),
+        num_keypoints=256,
+    )
+    leg = np.linspace(0, 0.3, 7)
+    xs = np.concatenate([leg, leg[::-1][1:], leg[1:], leg[::-1][1:]])
+    gt = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], axis=-1)
+    for tx in xs:
+        l, r, d = scene.render(float(tx), 0.0)
+        slam.process(l, d)
+    return slam, gt
+
+
+def test_detect_loops_accepts_multiple():
+    """detect_loops(max_loops=3) must accept >=2 loop edges in ONE call on a
+    double-revisit trajectory, and the accepted anchors must honor the
+    min-gap separation rule (VERDICT r2 Next #7: the multi-loop path
+    shipped unexercised)."""
+    from hobot_stereonet_tpu.slam.pose_graph import detect_loops
+
+    slam, _ = _double_loop_run()
+    loops = detect_loops(slam, min_gap=4, max_loops=3)
+    assert len(loops) >= 2, f"only {len(loops)} loops accepted"
+    anchors = [lc.i for lc in loops]
+    for a in range(len(anchors)):
+        for b in range(a + 1, len(anchors)):
+            assert abs(anchors[a] - anchors[b]) >= 4, anchors
+    assert all(lc.num_inliers >= 20 for lc in loops)
+
+
+def test_multi_loop_closure_beats_single():
+    """With drift that GROWS along the trajectory, a single loop edge
+    (start -> end) fixes the endpoints but leaves the middle sagging; the
+    second edge to the mid-trajectory revisit pins it.  Joint optimization
+    over >=2 accepted loops must beat single-loop ATE."""
+    from hobot_stereonet_tpu.slam.tracker import absolute_trajectory_error
+
+    drift = [0.0, 0.006, 0.0, 0.02, -0.008, 0.0]
+
+    slam_multi, gt = _double_loop_run()
+    _inject_drift(slam_multi, per_kf_twist=drift)
+    ate_drifted = absolute_trajectory_error(
+        np.stack(slam_multi.state.trajectory), gt)
+    assert ate_drifted > 0.01
+
+    # Identical second run (the pipeline is deterministic per instance) for
+    # the single-loop comparison.
+    slam_single, _ = _double_loop_run()
+    _inject_drift(slam_single, per_kf_twist=drift)
+
+    res_multi = close_loops(slam_multi, min_gap=4, iters=20, max_loops=3)
+    res_single = close_loops(slam_single, min_gap=4, iters=20, max_loops=1)
+    assert res_multi is not None and res_single is not None
+    assert len(res_multi["loops"]) >= 2, "multi-loop closure accepted < 2"
+    assert len(res_single["loops"]) == 1
+
+    ate_multi = absolute_trajectory_error(
+        np.stack(slam_multi.state.trajectory), gt)
+    ate_single = absolute_trajectory_error(
+        np.stack(slam_single.state.trajectory), gt)
+    assert ate_multi < 0.5 * ate_drifted, (ate_drifted, ate_multi)
+    assert ate_multi < ate_single, (ate_single, ate_multi)
+
+
 def test_close_loops_recovers_injected_drift():
     """Round-2 acceptance test (VERDICT Next #7): inject accumulated drift
     into a loopy trajectory, close loops, assert ATE improves a lot — and
