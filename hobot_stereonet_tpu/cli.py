@@ -50,14 +50,56 @@ def _make_model(cfg, args):
     return FastStereoNet(cfg.model)
 
 
+def _flagship_dir() -> Optional[str]:
+    """The crowned default checkpoint (scripts/crown.py), if installed."""
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "checkpoints", "flagship")
+    return d if os.path.isfile(os.path.join(d, "FLAGSHIP.json")) else None
+
+
+def _resolve_checkpoint(args, cfg):
+    """(cfg, checkpoint_path): explicit --checkpoint wins; otherwise the
+    crowned flagship is the default (the reference node always loads a
+    model file — a random-weights default is a trap), provided the user
+    didn't pin a different architecture via --config and the requested
+    model class matches the crowned one.  ``--checkpoint none`` forces
+    random init (op-level debugging)."""
+    import dataclasses
+
+    explicit = getattr(args, "checkpoint", None)
+    if explicit:
+        return cfg, (None if explicit == "none" else explicit)
+    flag = _flagship_dir()
+    if flag is None or getattr(args, "config", None):
+        return cfg, None
+    import json as _json
+    import os
+
+    with open(os.path.join(flag, "FLAGSHIP.json")) as f:
+        meta = _json.load(f)
+    if meta.get("model_class", "fast") != (getattr(args, "model", None) or "fast"):
+        return cfg, None
+    from .config import Config
+
+    flag_cfg = Config.from_json(os.path.join(flag, "config.json"))
+    cfg = dataclasses.replace(cfg, model=flag_cfg.model)
+    print(f"using flagship checkpoint {flag} "
+          f"({meta['candidate']['name']}); pass --checkpoint none for "
+          f"random init", file=sys.stderr)
+    return cfg, os.path.join(flag, "params")
+
+
 def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None,
                   keep_left: bool = False):
     from .runtime.engine import StereoEngine
 
     cfg = _make_config(args, h, w)
+    cfg, checkpoint = _resolve_checkpoint(args, cfg)
     model = _make_model(cfg, args)
     params = None
-    if getattr(args, "checkpoint", None):
+    if checkpoint:
         from .runtime import checkpoint as ckpt
 
         import jax
@@ -65,7 +107,7 @@ def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None,
 
         dummy = jnp.zeros((1, cfg.camera.height, cfg.camera.width, 3), jnp.float32)
         like = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
-        params = ckpt.load_params(args.checkpoint, like=like)
+        params = ckpt.load_params(checkpoint, like=like)
     return StereoEngine(cfg, model=model, params=params, keep_left=keep_left,
                         int8=getattr(args, "int8", False))
 
@@ -513,7 +555,8 @@ def main(argv=None) -> int:
     pi.add_argument("--left", required=True)
     pi.add_argument("--right", required=True)
     pi.add_argument("--out", default=None, help="composite PNG path")
-    pi.add_argument("--checkpoint", default=None)
+    pi.add_argument("--checkpoint", default=None,
+                    help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     pi.add_argument("--artifact", default=None, metavar="BLOB",
                     help="run a compiled .stereoblob (stereod export) "
                          "instead of building the model from code")
@@ -524,7 +567,8 @@ def main(argv=None) -> int:
     ps.add_argument("--frames", type=int, default=30)
     ps.add_argument("--fps", type=float, default=15.0)
     ps.add_argument("--unpaced", action="store_true")
-    ps.add_argument("--checkpoint", default=None)
+    ps.add_argument("--checkpoint", default=None,
+                    help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     ps.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="write a jax.profiler trace for TensorBoard")
     ps.add_argument("--serve", type=int, default=None, metavar="PORT",
@@ -543,7 +587,8 @@ def main(argv=None) -> int:
     pe.add_argument("--frames", type=int, default=0)
     pe.add_argument("--eval-seed", type=int, default=777,
                     help="synthetic eval-set seed (disjoint from train seeds)")
-    pe.add_argument("--checkpoint", default=None)
+    pe.add_argument("--checkpoint", default=None,
+                    help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     pe.add_argument("--check-determinism", action="store_true",
                     help="run the first pair twice and require bit-equal "
                          "disparities before evaluating")
@@ -564,7 +609,8 @@ def main(argv=None) -> int:
                     help="KITTI odometry or EuRoC MAV root (switches from "
                          "synthetic; layout auto-detected)")
     pv.add_argument("--sequence", default="00")
-    pv.add_argument("--checkpoint", default=None)
+    pv.add_argument("--checkpoint", default=None,
+                    help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     pv.add_argument("--loop-closure", action="store_true",
                     help="detect loop closures and optimize the keyframe "
                          "pose graph")
@@ -574,7 +620,8 @@ def main(argv=None) -> int:
     pt = sub.add_parser("train", help="train on synthetic data")
     pt.add_argument("--steps", type=int, default=100)
     pt.add_argument("--batch", type=int, default=4)
-    pt.add_argument("--checkpoint", default=None)
+    pt.add_argument("--checkpoint", default=None,
+                    help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     pt.add_argument("--log-every", type=int, default=20)
     pt.add_argument("--lr", type=float, default=1e-3)
     pt.add_argument("--seed", type=int, default=0)
@@ -586,7 +633,8 @@ def main(argv=None) -> int:
     px = sub.add_parser("export", help="compile + serialize the serving "
                                        "pipeline to a .stereoblob artifact")
     px.add_argument("--out", required=True)
-    px.add_argument("--checkpoint", default=None)
+    px.add_argument("--checkpoint", default=None,
+                    help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     px.add_argument("--buckets", default="1,8",
                     help="comma-separated batch sizes to lower (default 1,8)")
     px.add_argument("--platforms", default="cpu,tpu",
@@ -598,7 +646,8 @@ def main(argv=None) -> int:
     pd.add_argument("--left", required=True)
     pd.add_argument("--right", required=True)
     pd.add_argument("--out", required=True)
-    pd.add_argument("--checkpoint", default=None)
+    pd.add_argument("--checkpoint", default=None,
+                    help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     common(pd)
     pd.set_defaults(fn=cmd_dump)
 

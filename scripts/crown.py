@@ -1,0 +1,76 @@
+"""Crown the flagship: pick the best frontier candidate and install it as
+``checkpoints/flagship`` (params + full Config JSON), the checkpoint every
+CLI entry loads by default.
+
+Selection rule (VERDICT r2 Next #1): lowest held-out EPE among candidates
+holding >= 300 fps THROUGH the engine.  The reference's model is the whole
+product (``/root/reference/README.md:5`` — one .hbm blob IS hobot_stereonet);
+our analog of "shipping the blob" is this directory:
+
+  checkpoints/flagship/
+    config.json   full Config whose model section is the winner's arch
+    params/       orbax checkpoint (copied from the winner's frontier dir)
+    FLAGSHIP.json provenance: which candidate, when, with what evidence
+
+Usage: python scripts/crown.py [--frontier frontier_results.json]
+                               [--min-fps 300] [--dest checkpoints/flagship]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frontier", default="frontier_results.json")
+    ap.add_argument("--min-fps", type=float, default=300.0)
+    ap.add_argument("--dest", default="checkpoints/flagship")
+    args = ap.parse_args()
+
+    from hobot_stereonet_tpu.config import Config
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import frontier as frontier_mod
+
+    frontier_mod._build_candidates()
+    with open(args.frontier) as f:
+        rows = json.load(f)
+
+    eligible = [r for r in rows if r.get("engine_fps", 0) >= args.min_fps]
+    if not eligible:
+        print(f"no candidate holds >= {args.min_fps} fps; have "
+              f"{[(r['name'], r.get('engine_fps')) for r in rows]}",
+              file=sys.stderr)
+        return 1
+    winner = min(eligible, key=lambda r: r["heldout_epe_px"])
+    mcfg = frontier_mod.CANDIDATES[winner["name"]]
+    cfg = dataclasses.replace(Config(), model=mcfg)
+
+    dest = args.dest
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
+    shutil.copytree(winner["checkpoint"], os.path.join(dest, "params"))
+    cfg.save_json(os.path.join(dest, "config.json"))
+    with open(os.path.join(dest, "FLAGSHIP.json"), "w") as f:
+        json.dump({"candidate": winner,
+                   "model_class": "classic" if winner["name"] == "CLASSIC"
+                   else "fast",
+                   "selection_rule":
+                   f"min heldout_epe_px with engine_fps >= {args.min_fps}"},
+                  f, indent=2)
+    print(json.dumps({"flagship": winner["name"],
+                      "heldout_epe_px": winner["heldout_epe_px"],
+                      "engine_fps": winner.get("engine_fps"),
+                      "installed": dest}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

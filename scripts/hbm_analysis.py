@@ -8,7 +8,8 @@ Three questions, answered with on-chip numbers:
    table (exact byte math, no model needed).
 2. At the serving batch sizes the engine actually dispatches (target:
    max_batch=128 @ 720p), does the monolithic pipeline fit HBM, and where
-   is the ceiling?  -> binary-search the largest batch that compiles+runs.
+   is the ceiling?  -> walk the batch ladder (128/256/512) and record the
+   largest rung that compiles+runs.
 3. What does blockwise serving (EngineConfig.device_microbatch — lax.map
    chunking inside ONE compiled program) cost in throughput and buy in
    capacity?  -> fps + max-batch with chunking on.
@@ -22,7 +23,7 @@ disparity candidates) — which moves the HBM ceiling to the batch axis,
 where chunking IS exact
 (every op is per-sample).  That is what device_microbatch implements.
 
-Usage: python scripts/hbm_analysis.py [--full]
+Usage: python scripts/hbm_analysis.py [--full] [--out hbm_analysis.json]
 """
 
 import argparse
@@ -126,7 +127,13 @@ def measured(run_full: bool):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
-                    help="also binary-search the max-batch capacity ceiling")
+                    help="also walk the batch ladder for the capacity ceiling")
+    ap.add_argument("--out", default=None,
+                    help="write the full result as committable JSON")
     args = ap.parse_args()
-    print(json.dumps({"analytic": analytic_table()}, indent=2))
-    print(json.dumps({"measured": measured(args.full)}, indent=2))
+    result = {"analytic": analytic_table(), "measured": measured(args.full)}
+    print(json.dumps(result, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {args.out}", file=sys.stderr)

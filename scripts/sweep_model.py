@@ -6,9 +6,13 @@ configs so the flagship can spend that headroom on accuracy while holding
 fps >= 300 through a batched engine dispatch (32/(0.025 s RPC + 32*t) >=
 300 fps  =>  t <= 2.55 ms/frame).
 
-Usage: python scripts/sweep_model.py [batch]
+Per-candidate ENGINE fps (the decision-grade numbers) are measured and
+committed by scripts/frontier.py; this is the quick raw-forward probe.
+
+Usage: python scripts/sweep_model.py [batch] [--out sweep.json]
 """
 
+import json
 import sys
 import time
 
@@ -22,7 +26,9 @@ from hobot_stereonet_tpu.config import StereoNetConfig
 from hobot_stereonet_tpu.models import FastStereoNet
 
 H, W = 720, 1280
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+_args = [a for a in sys.argv[1:] if a != "--out" and not a.endswith(".json")]
+OUT = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
+BATCH = int(_args[0]) if _args else 32
 
 CANDIDATES = {
     # round-1 flagship (agg channels floor to 64 inside the model)
@@ -65,11 +71,18 @@ def measure(cfg: StereoNetConfig) -> dict:
 
 if __name__ == "__main__":
     print(f"backend={jax.default_backend()} batch={BATCH} res={W}x{H}")
+    results = {"backend": jax.default_backend(), "batch": BATCH,
+               "geometry": f"{W}x{H}", "candidates": {}}
     for name, cfg in CANDIDATES.items():
         r = measure(cfg)
+        results["candidates"][name] = {k: round(v, 3) for k, v in r.items()}
         print(
             f"{name:12s} {r['ms_per_frame']:.2f} ms/frame  {r['fps']:7.1f} fps "
             f"(batch-amortized)  {r['params_m']:.2f}M params  "
             f"compile {r['compile_s']:.0f}s",
             flush=True,
         )
+    if OUT:
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {OUT}", file=sys.stderr)
