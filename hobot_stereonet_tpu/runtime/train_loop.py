@@ -63,17 +63,30 @@ def train_synthetic(
         # (the saved opt_state belongs to the previous run's schedule).
         params = ckpt.load_params(resume_from, like=state.params)
         state = training.TrainState(params, state.opt_state, state.step)
-    step_fn = jax.jit(training.make_train_step(model, optimizer,
-                                               max_disparity=cfg.max_disparity))
+    raw_step = training.make_train_step(model, optimizer,
+                                        max_disparity=cfg.max_disparity)
 
-    def to_input(x):
-        return (jnp.asarray(x, jnp.float32) - 128.0) / 128.0
+    def step_u8(state, l_u8, r_u8, d):
+        # Normalize ON DEVICE: the host->device path ships uint8, 4x less
+        # than pre-converted float32.  Through the tunnel backend this is
+        # load-bearing twice over: (a) per-step transfer time, and (b) the
+        # client retains a host mirror of every transferred buffer for the
+        # process lifetime (measured ~6 MB/step leak with f32 batches —
+        # ~45 GB over an 8000-step run; the three-candidate round-3 sweep
+        # OOM'd a 125 GB host before this fix).
+        to_in = lambda u: (u.astype(jnp.float32) - 128.0) / 128.0
+        return raw_step(state, to_in(l_u8), to_in(r_u8), d)
+
+    # Donate the state: params/opt buffers update in place in HBM instead
+    # of doubling per step.
+    step_fn = jax.jit(step_u8, donate_argnums=(0,))
 
     history = []
     t0 = time.perf_counter()
     for i in range(steps):
         l, r, d = next(it)
-        state, metrics = step_fn(state, to_input(l), to_input(r), jnp.asarray(d))
+        state, metrics = step_fn(state, jnp.asarray(l), jnp.asarray(r),
+                                 jnp.asarray(d))
         if (i + 1) % 25 == 0:
             # Bound in-flight async work: through the tunnel backend a
             # dispatch-only loop queues arbitrarily far ahead, keeping every

@@ -1,0 +1,114 @@
+"""On-chip .stereoblob validation (VERDICT r2 Next #4).
+
+Exports the flagship serving pipeline as a TPU-only artifact at 720p (the
+``platforms=("tpu",)`` path keeps the fused Pallas NV12 ingest), loads it
+back, and records committable evidence:
+
+  * artifact-vs-engine parity: max |disparity delta| on real frames between
+    the deserialized artifact and the live engine pipeline (same params,
+    same NV12 bytes);
+  * per-batch latency of the loaded artifact at the exported buckets;
+  * a NaN/finite check on the artifact's depth output.
+
+Writes artifact_tpu_validation.json.
+
+Usage: python scripts/validate_artifact_tpu.py [--checkpoint DIR]
+           [--buckets 1,32] [--out artifact_tpu_validation.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="checkpoints/flagship",
+                    help="flagship dir (config.json + params/) or a bare "
+                         "orbax params dir")
+    ap.add_argument("--buckets", default="1,32")
+    ap.add_argument("--blob", default="/tmp/flagship_tpu.stereoblob")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--out", default="artifact_tpu_validation.json")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from hobot_stereonet_tpu.config import Config
+    from hobot_stereonet_tpu.data.stream import DeviceFrameRing
+    from hobot_stereonet_tpu.models import FastStereoNet
+    from hobot_stereonet_tpu.runtime import checkpoint as ckpt
+    from hobot_stereonet_tpu.runtime.artifact import (
+        CompiledStereoArtifact, export_artifact)
+    from hobot_stereonet_tpu.runtime.engine import StereoEngine
+
+    if os.path.isfile(os.path.join(args.checkpoint, "config.json")):
+        cfg = Config.from_json(os.path.join(args.checkpoint, "config.json"))
+        params = ckpt.load_params(os.path.join(args.checkpoint, "params"))
+    else:
+        cfg = Config()
+        params = ckpt.load_params(args.checkpoint)
+    model = FastStereoNet(cfg.model)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+
+    t0 = time.perf_counter()
+    manifest = export_artifact(args.blob, model, params, cfg,
+                               buckets=buckets, platforms=("tpu",))
+    export_s = time.perf_counter() - t0
+    print(f"exported {args.blob} ({os.path.getsize(args.blob)} bytes) "
+          f"in {export_s:.1f}s", file=sys.stderr)
+
+    b = max(buckets)
+    ring = DeviceFrameRing(height=cfg.camera.height, width=cfg.camera.width,
+                           ring_size=4)
+    batch = np.asarray(ring.data)[np.arange(b) % ring.data.shape[0]]
+
+    # Live-engine reference on the SAME bytes (fused Pallas ingest path).
+    eng = StereoEngine(cfg, model=model, params=params, compute_depth=True)
+    import jax.numpy as jnp
+
+    disp_eng, depth_eng, _ = eng._pipeline(eng.params, jnp.asarray(batch))
+    disp_eng = np.asarray(disp_eng)
+
+    art = CompiledStereoArtifact(args.blob)
+    t0 = time.perf_counter()
+    disp_art, depth_art = art.run_nv12(batch)
+    first_s = time.perf_counter() - t0
+    lat = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        disp_art, depth_art = art.run_nv12(batch)
+        lat.append(time.perf_counter() - t0)
+
+    delta = float(np.abs(disp_art - disp_eng).max())
+    out = {
+        "blob_bytes": os.path.getsize(args.blob),
+        "platforms": manifest["platforms"],
+        "buckets": manifest["buckets"],
+        "geometry": f"{cfg.camera.width}x{cfg.camera.height}",
+        "export_s": round(export_s, 1),
+        "parity_max_disparity_delta_px": delta,
+        "artifact_latency_ms_per_batch": round(1e3 * sum(lat) / len(lat), 1),
+        "artifact_ms_per_frame": round(1e3 * sum(lat) / len(lat) / b, 2),
+        "batch": b,
+        "first_call_s": round(first_s, 1),
+        "depth_finite": bool(np.isfinite(depth_art).all()),
+        "checkpoint": args.checkpoint,
+    }
+    print(json.dumps(out, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    # The artifact is the SAME traced program serialized, so parity should
+    # be round-off only; >0.05 px means the export path diverged.
+    assert delta < 0.05, f"artifact-vs-engine disparity delta {delta} px"
+    assert out["depth_finite"]
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
