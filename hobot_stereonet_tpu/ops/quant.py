@@ -7,7 +7,10 @@ This is the TPU-native analog: symmetric per-output-channel weight
 quantization + dynamic per-sample activation quantization, with every
 ``nn.Conv`` in the network executed as an s8 x s8 -> s32 convolution
 (``preferred_element_type=int32``), which XLA lowers onto the MXU's int8
-path (2x bf16 peak on v5e).  Norms, nonlinearities, and the soft-argmin
+path (nominally 2x bf16 peak on v5e; the measured end-to-end effect on the
+serving pipeline is recorded in int8_report.json — at these layer widths
+the pipeline is not MXU-bound, so do not expect 2x wall clock).  Norms,
+nonlinearities, and the soft-argmin
 head stay in floating point — standard w8a8 practice (quantizing them buys
 nothing: they are bandwidth-bound, not MXU-bound).
 
