@@ -56,6 +56,12 @@ def _build_candidates():
             # hierarchical refinement) — the reference-parity model
             # (/root/reference/README.md:5).
             "CLASSIC": StereoNetConfig(**{**base, "upsample_mode": "refine"}),
+            # Flagship continuation: A_base architecture fine-tuned past the
+            # equal-budget frontier (seed its checkpoint dir from
+            # frontier_A_base and run with --resume --lr 3e-4).  NOT part of
+            # the equal-budget comparison — provenance lives in
+            # FLAGSHIP.json when crowned.
+            "A_ft": StereoNetConfig(**base),
         }
     )
 
@@ -140,7 +146,10 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     _build_candidates()
-    names = args.only.split(",") if args.only else list(CANDIDATES)
+    # A_ft is the post-frontier fine-tune alias, never part of the default
+    # equal-budget sweep.
+    names = (args.only.split(",") if args.only
+             else [n for n in CANDIDATES if n != "A_ft"])
     results = []
     for n in names:
         results.append(run_one(n, args.steps, args.ckpt_dir, args.batch,
