@@ -24,12 +24,15 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def pick_flagship(frontier: list, min_fps: float = 300.0) -> dict:
-    """Best held-out EPE among candidates holding >= min_fps through the
-    engine (falls back to best EPE if none carries an fps figure)."""
-    with_fps = [r for r in frontier if r.get("engine_fps", 0) >= min_fps]
-    pool = with_fps or frontier
-    return min(pool, key=lambda r: r["heldout_epe_px"])
+def pick_flagship(frontier: list, min_fps: float = 300.0,
+                  epe_tie_px: float = 0.03) -> dict:
+    """Same rule as scripts/crown.py: min held-out EPE among candidates
+    holding >= min_fps through the engine, fastest within the EPE tie band
+    (falls back to the whole list if none carries an fps figure)."""
+    pool = [r for r in frontier if r.get("engine_fps", 0) >= min_fps] or frontier
+    best = min(r["heldout_epe_px"] for r in pool)
+    tied = [r for r in pool if r["heldout_epe_px"] <= best + epe_tie_px]
+    return max(tied, key=lambda r: r.get("engine_fps", 0))
 
 
 def train_on_layered(name: str, mcfg, model_cls, steps: int, batch: int,
