@@ -75,9 +75,7 @@ def measure_engine_fps(
     ring = DeviceFrameRing(height=height, width=width, ring_size=ring_size)
 
     t_w = time.perf_counter()
-    # stage_timing dispatches through the plain-batch stages (the split is
-    # a diagnostic two-dispatch path), so warm the matching variant.
-    eng.warmup(buckets=[batch], ring=None if stage_timing else ring)
+    eng.warmup(buckets=[batch], ring=ring)
     warmup_s = time.perf_counter() - t_w
     if verbose_to is not None:
         print(f"warmup/compile: {warmup_s:.1f}s", file=verbose_to)

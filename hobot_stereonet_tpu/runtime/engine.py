@@ -245,9 +245,15 @@ class StereoEngine:
         # synced and timed.
         @jax.jit
         def _pre_stage(sbs_batch):
-            return jax.vmap(
+            x = jax.vmap(
                 lambda f: pp.nv12_ingest(f, H, 2 * W, cfg.preprocess)[0]
             )(sbs_batch)
+            # Scalar completion probe computed IN the program: fetching it is
+            # the stage sync.  Fetching an element of x instead (ravel()[0])
+            # pulls the whole full-res f32 batch through the RPC tunnel
+            # (~0.9 GB/batch at 32@720p — measured 2.9 s/batch and it
+            # resource-exhausted the remote service after a few batches).
+            return x, x.reshape(-1)[0]
 
         @jax.jit
         def _net_stage(params, x):
@@ -271,6 +277,11 @@ class StereoEngine:
         self._in_progress_lock = threading.Lock()
         self._stop = threading.Event()
         self._threads = []
+        # First exception raised by a worker thread (dispatch/fetch).  A
+        # dead worker must surface in drain()/results(), not leave callers
+        # spinning on a pipeline that can never go idle (found when a
+        # stage-timing bench OOM'd the device and hung the driver).
+        self._worker_error: Optional[BaseException] = None
 
     # ------------------------------------------------------------------
     # Lifecycle
@@ -298,8 +309,17 @@ class StereoEngine:
             if self.cfg.engine.stage_timing:
                 # The stage-timing dispatch path runs the split two-dispatch
                 # variant, not the fused pipeline — compile what it will hit.
-                dummy = jnp.asarray(np.zeros((b, self._expected_len), np.uint8))
-                x = self._pre_stage(dummy)
+                if ring is not None and self.mesh is None:
+                    # Ring-fed stage timing gathers slots EAGERLY before the
+                    # pre stage — compile that gather here, or the first
+                    # measured batch pays a remote compile.
+                    idx = jnp.asarray(np.zeros((b,), np.int32))
+                    dummy = ring.data[idx]
+                else:
+                    dummy = jnp.asarray(
+                        np.zeros((b, self._expected_len), np.uint8)
+                    )
+                x, _pre_probe = self._pre_stage(dummy)
                 _, _, probe = self._net_stage(self.params, x)
             elif ring is not None and self.mesh is None:
                 idx = jnp.asarray(np.zeros((b,), np.int32))
@@ -380,12 +400,19 @@ class StereoEngine:
             busy = self._in_progress
         return busy == 0 and self._feed_q.empty() and self._inflight_q.empty()
 
+    def _check_workers(self) -> None:
+        if self._worker_error is not None:
+            raise RuntimeError(
+                "engine worker thread died; pipeline cannot complete"
+            ) from self._worker_error
+
     def results(self, timeout: float = 5.0) -> Iterator[StereoResult]:
         """Drain results until the pipeline is idle for ``timeout`` seconds
-        or the engine is stopped."""
+        or the engine is stopped.  Raises if a worker thread died."""
         while True:
             res = self.poll(timeout=timeout)
             if res is None:
+                self._check_workers()
                 if self._stop.is_set() or self._idle():
                     return
                 continue
@@ -393,8 +420,11 @@ class StereoEngine:
 
     def drain(self) -> None:
         """Block until everything fed so far has been dispatched+fetched,
-        including frames currently in a worker's hands."""
+        including frames currently in a worker's hands.  Raises if a worker
+        thread died (otherwise the pipeline can never go idle and this
+        would spin forever)."""
         while not self._idle():
+            self._check_workers()
             time.sleep(0.005)
 
     # ------------------------------------------------------------------
@@ -479,6 +509,20 @@ class StereoEngine:
         return ("batch", jnp.asarray(np.stack(bufs)))
 
     def _dispatch_loop(self) -> None:
+        try:
+            self._dispatch_loop_inner()
+        except BaseException as e:  # noqa: BLE001 — must reach drain()
+            self._worker_error = e
+            self._stop.set()
+
+    def _fetch_loop(self) -> None:
+        try:
+            self._fetch_loop_inner()
+        except BaseException as e:  # noqa: BLE001 — must reach drain()
+            self._worker_error = e
+            self._stop.set()
+
+    def _dispatch_loop_inner(self) -> None:
         max_batch = self.cfg.engine.max_batch
         stage_timing = self.cfg.engine.stage_timing
 
@@ -502,15 +546,22 @@ class StereoEngine:
             asm = self._assemble_batch(frames)
             if stage_timing:
                 # Diagnostic split (rt_stat preprocess/infer analog):
-                # sync after each stage to attribute time.
+                # sync after EACH stage to attribute time — which also
+                # serializes dispatches.  That is deliberate: the split
+                # materializes the full-res f32 preprocessed batch between
+                # stages (~0.9 GB at batch 32 @720p), and letting `inflight`
+                # of those pile up on device OOMs HBM (it did).  Throughput
+                # in this mode is diagnostic, not headline.
                 batch = asm[1][asm[2]] if asm[0] == "ring" else asm[1]
-                x = self._pre_stage(batch)
-                x.block_until_ready()
-                _ = float(x.ravel()[0])  # tunnel-safe true sync
+                x, pre_probe = self._pre_stage(batch)
+                _ = float(pre_probe)  # tunnel-safe true sync, scalar-sized
                 t_pre = time.monotonic()
                 disp, depth, probe = self._net_stage(self.params, x)
+                _ = np.asarray(probe)  # complete the net stage before the
+                t_net = time.monotonic()  # next batch's pre-stage runs
                 self.metrics.preprocess_latency.record(t_pre - t0)
-                self._inflight_q.put((frames, disp, depth, probe, t0, t_pre))
+                self.metrics.network_latency.record(t_net - t_pre)
+                self._inflight_q.put((frames, disp, depth, probe, t0, None))
             else:
                 if asm[0] == "ring":
                     disp, depth, probe = self._pipeline_ring(
@@ -523,7 +574,7 @@ class StereoEngine:
             with self._in_progress_lock:
                 self._in_progress -= 1
 
-    def _fetch_loop(self) -> None:
+    def _fetch_loop_inner(self) -> None:
         fetch_results = self.cfg.engine.fetch_results
         nan_guard = self.cfg.engine.nan_guard
         while not self._stop.is_set():

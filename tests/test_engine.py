@@ -91,6 +91,32 @@ def test_drop_on_full():
     assert eng.metrics.dropped > 0
 
 
+def test_drain_raises_on_dead_worker():
+    """A worker thread that dies (e.g. device OOM mid-dispatch) must surface
+    as an exception from drain()/results(), not leave the caller spinning on
+    a pipeline that can never go idle (found via a real on-chip OOM that
+    hung the driver bench)."""
+    cfg = _small_config()
+    eng = StereoEngine(cfg)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    eng._pipeline = boom
+    eng._pipeline_ring = boom
+    n = 64 * 256 * 3 // 2
+    eng.feed(Frame(0.0, np.zeros(n, np.uint8), 64, 256, index=0))
+    eng.start(warmup=False)
+    try:
+        with pytest.raises(RuntimeError, match="worker thread died"):
+            eng.drain()
+        # results() must also terminate with the error, not iterate forever.
+        with pytest.raises(RuntimeError, match="worker thread died"):
+            list(eng.results(timeout=0.1))
+    finally:
+        eng.stop()
+
+
 def test_micro_batching_under_load():
     """When frames are queued faster than dispatches drain them, the
     dispatcher must coalesce >1 frame per device call (the round-2
