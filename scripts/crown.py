@@ -31,7 +31,10 @@ sys.path.insert(0, "/root/repo")
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frontier", default="frontier_results.json")
+    ap.add_argument("--frontier", default="frontier_results.json",
+                    help="comma-separated result files; rows are pooled "
+                         "(e.g. the equal-budget sweep plus the A_ft "
+                         "post-frontier fine-tune)")
     ap.add_argument("--min-fps", type=float, default=300.0)
     ap.add_argument("--dest", default="checkpoints/flagship")
     args = ap.parse_args()
@@ -42,8 +45,10 @@ def main() -> int:
     import frontier as frontier_mod
 
     frontier_mod._build_candidates()
-    with open(args.frontier) as f:
-        rows = json.load(f)
+    rows = []
+    for path in args.frontier.split(","):
+        with open(path) as f:
+            rows.extend(json.load(f))
 
     eligible = [r for r in rows if r.get("engine_fps", 0) >= args.min_fps]
     if not eligible:
