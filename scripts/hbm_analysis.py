@@ -59,68 +59,90 @@ def analytic_table():
     return rows
 
 
-def measured(run_full: bool):
-    import jax
-    import numpy as np
-
+def fps_at(batch: int, micro: int) -> float:
     from hobot_stereonet_tpu.config import Config, EngineConfig
+    from hobot_stereonet_tpu.data.stream import DeviceFrameRing
     from hobot_stereonet_tpu.runtime.engine import StereoEngine
 
-    dev = jax.devices()[0]
-    out = {"device": dev.platform}
-
-    def fps_at(batch: int, micro: int) -> float:
-        cfg = Config(
-            engine=EngineConfig(
-                max_batch=batch,
-                batch_buckets=(1, batch),
-                feed_queue_depth=batch * 4,
-                drop_on_full=False,
-                fetch_results=False,
-                device_microbatch=micro,
-            )
+    cfg = Config(
+        engine=EngineConfig(
+            max_batch=batch,
+            batch_buckets=(1, batch),
+            feed_queue_depth=batch * 4,
+            drop_on_full=False,
+            fetch_results=False,
+            device_microbatch=micro,
         )
-        eng = StereoEngine(cfg, compute_depth=False)
-        from hobot_stereonet_tpu.data.stream import DeviceFrameRing
+    )
+    eng = StereoEngine(cfg, compute_depth=False)
+    ring = DeviceFrameRing(
+        height=cfg.camera.height, width=cfg.camera.width, ring_size=4
+    )
+    eng.warmup(buckets=[batch], ring=ring)
+    frames = list(ring.frames(batch * 4))
+    for f in frames:
+        eng.feed(f)
+    t0 = time.perf_counter()
+    eng.start(warmup=False)
+    eng.drain()
+    dt = time.perf_counter() - t0
+    eng.stop()
+    return len(frames) / dt
 
-        ring = DeviceFrameRing(
-            height=cfg.camera.height, width=cfg.camera.width, ring_size=4
-        )
-        eng.warmup(buckets=[batch], ring=ring)
-        frames = list(ring.frames(batch * 4))
-        for f in frames:
-            eng.feed(f)
-        t0 = time.perf_counter()
-        eng.start(warmup=False)
-        eng.drain()
-        dt = time.perf_counter() - t0
-        eng.stop()
-        return len(frames) / dt
+
+def run_rung(batch: int, micro: int) -> dict:
+    """One fps measurement in a FRESH process.  In-process, device buffers
+    accumulated by earlier engines (tunnel-retained transfers, undrained
+    device-resident result queues) make later rungs fail for reasons that
+    have nothing to do with the rung itself — a first in-process walk
+    reported max_batch_micro32=0 while the same rung had measured 503 fps
+    minutes earlier in the same process."""
+    import os
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--rung",
+         f"{batch},{micro}"],
+        capture_output=True, text=True, timeout=1200,
+    )
+    for line in reversed((p.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return {"error": (p.stderr or "no output").strip()[-300:]}
+
+
+def measured(run_full: bool):
+    out = {}
+
+    def record(batch: int, micro: int) -> bool:
+        key = f"fps_batch{batch}_micro{micro or 'off'}"
+        if key in out:
+            return not isinstance(out[key], str)
+        r = run_rung(batch, micro)
+        out.setdefault("device", r.get("platform"))
+        if "fps" in r:
+            out[key] = r["fps"]
+            return True
+        out[key] = "FAIL: " + r.get("error", "")[:200]
+        return False
 
     # 3. blockwise cost/benefit at the target dispatch size.
     for micro in (0, 32):
-        key = f"fps_batch128_micro{micro or 'off'}"
-        try:
-            out[key] = round(fps_at(128, micro), 1)
-        except Exception as e:  # pragma: no cover - depends on device mem
-            out[key] = f"OOM/{type(e).__name__}"
+        record(128, micro)
 
     if run_full:
         # 2. capacity ceiling: largest monolithic batch vs. chunked batch.
+        # fps per rung is recorded too — whether a bigger dispatch beats
+        # the batch-128 headline is a question this walk answers for free.
         for micro in (0, 32):
             hi_ok = 0
             for b in (128, 256, 512):
-                try:
-                    fps_at(b, micro)
-                    hi_ok = b
-                except Exception:
+                if not record(b, micro):
                     break
+                hi_ok = b
             out[f"max_batch_micro{micro or 'off'}"] = hi_ok
-
-    stats = getattr(dev, "memory_stats", lambda: None)()
-    if stats:
-        out["hbm_bytes_in_use"] = stats.get("bytes_in_use")
-        out["hbm_bytes_limit"] = stats.get("bytes_limit")
     return out
 
 
@@ -130,7 +152,24 @@ if __name__ == "__main__":
                     help="also walk the batch ladder for the capacity ceiling")
     ap.add_argument("--out", default=None,
                     help="write the full result as committable JSON")
+    ap.add_argument("--rung", default=None, metavar="B,MICRO",
+                    help="internal: measure one (batch, microbatch) point "
+                         "and print one JSON line (fresh-process worker)")
     args = ap.parse_args()
+    if args.rung:
+        b, micro = (int(x) for x in args.rung.split(","))
+        import jax
+
+        try:
+            fps = fps_at(b, micro)
+            print(json.dumps({"fps": round(fps, 1),
+                              "platform": jax.devices()[0].platform}))
+        except Exception as e:  # pragma: no cover - device-dependent
+            msg = f"{type(e).__name__}: {e}"
+            if e.__cause__ is not None:  # e.g. drain() wraps the OOM
+                msg += f" <- {type(e.__cause__).__name__}: {e.__cause__}"
+            print(json.dumps({"error": msg[:300]}))
+        sys.exit(0)
     result = {"analytic": analytic_table(), "measured": measured(args.full)}
     print(json.dumps(result, indent=2))
     if args.out:
