@@ -92,6 +92,9 @@ class StereoResult:
     gt_disparity: Optional[np.ndarray] = None
     e2e_latency_s: float = 0.0
     left_rgb: Optional[np.ndarray] = None  # only when engine keep_left=True
+    confidence: Optional[np.ndarray] = None  # [H/8, W/8] peak-probability
+    #                        match confidence in [0,1]; only when the
+    #                        engine runs with emit_confidence=True
 
 
 class StereoEngine:
@@ -108,7 +111,8 @@ class StereoEngine:
 
     def __init__(self, cfg: Config = Config(), model=None, params=None,
                  compute_depth: bool = True, keep_left: bool = False,
-                 mesh=None, int8: bool = False):
+                 mesh=None, int8: bool = False,
+                 emit_confidence: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -128,6 +132,10 @@ class StereoEngine:
         # Decode the left view for display consumers (the reference
         # JPEG-encodes and republishes it, stereonet_node.cpp:782-785).
         self._keep_left = keep_left
+        # Ship the 1/8-res soft-argmin peak probability with each result
+        # (the model computes it anyway; the reference's BPU blob hides
+        # it).  Opt-in: it adds one small output tensor per dispatch.
+        self._emit_confidence = emit_confidence
 
         # Multi-chip serving (BASELINE "8 stereo pairs, tile-sharded"): the
         # frame batch shards over the mesh's ``data`` axis and image rows
@@ -171,6 +179,9 @@ class StereoEngine:
                 NamedSharding(mesh, mesh_mod.batch_map_spec())
                 if compute_depth
                 else None,
+                NamedSharding(mesh, mesh_mod.batch_map_spec())
+                if emit_confidence
+                else None,
                 NamedSharding(mesh, P(mesh_mod.DATA_AXIS)),
             )
         self.params = params
@@ -201,12 +212,14 @@ class StereoEngine:
                     x, NamedSharding(self.mesh, self._act_spec)
                 )
             left, right = pp.split_model_input(x)
-            disp = self._apply(params, left, right)["disparity"]
+            net_out = self._apply(params, left, right)
+            disp = net_out["disparity"]
             if compute_depth:
                 depth = camera.depth_from_disparity(disp)
             else:
                 depth = None
-            return disp, depth, _nonfinite_flags(disp)
+            conf = net_out["confidence"] if emit_confidence else None
+            return disp, depth, conf, _nonfinite_flags(disp)
 
         def _run(params, sbs_batch):
             # Blockwise serving (EngineConfig.device_microbatch): chunk the
@@ -218,13 +231,14 @@ class StereoEngine:
             bsz = sbs_batch.shape[0]
             if m and self.mesh is None and bsz > m and bsz % m == 0:
                 sub = sbs_batch.reshape(bsz // m, m, sbs_batch.shape[1])
-                disp, depth, flags = jax.lax.map(
+                disp, depth, conf, flags = jax.lax.map(
                     lambda s: _run_chunk(params, s), sub
                 )
                 join = lambda a: a.reshape((bsz,) + a.shape[2:])
                 return (
                     join(disp),
                     join(depth) if depth is not None else None,
+                    join(conf) if conf is not None else None,
                     join(flags),
                 )
             return _run_chunk(params, sbs_batch)
@@ -258,9 +272,11 @@ class StereoEngine:
         @jax.jit
         def _net_stage(params, x):
             left, right = pp.split_model_input(x)
-            disp = self._apply(params, left, right)["disparity"]
+            net_out = self._apply(params, left, right)
+            disp = net_out["disparity"]
             depth = camera.depth_from_disparity(disp) if compute_depth else None
-            return disp, depth, _nonfinite_flags(disp)
+            conf = net_out["confidence"] if emit_confidence else None
+            return disp, depth, conf, _nonfinite_flags(disp)
 
         self._pre_stage = _pre_stage
         self._net_stage = _net_stage
@@ -320,10 +336,10 @@ class StereoEngine:
                         np.zeros((b, self._expected_len), np.uint8)
                     )
                 x, _pre_probe = self._pre_stage(dummy)
-                _, _, probe = self._net_stage(self.params, x)
+                probe = self._net_stage(self.params, x)[-1]
             elif ring is not None and self.mesh is None:
                 idx = jnp.asarray(np.zeros((b,), np.int32))
-                _, _, probe = self._pipeline_ring(self.params, ring.data, idx)
+                probe = self._pipeline_ring(self.params, ring.data, idx)[-1]
             else:
                 dummy = np.zeros((b, self._expected_len), np.uint8)
                 if self.mesh is not None:
@@ -332,7 +348,7 @@ class StereoEngine:
                     dummy = jax.device_put(dummy, self._batch_sharding)
                 else:
                     dummy = jnp.asarray(dummy)
-                _, _, probe = self._pipeline(self.params, dummy)
+                probe = self._pipeline(self.params, dummy)[-1]
             np.asarray(probe)  # force full execution through the tunnel
 
     def start(self, warmup: bool = True) -> "StereoEngine":
@@ -556,20 +572,22 @@ class StereoEngine:
                 x, pre_probe = self._pre_stage(batch)
                 _ = float(pre_probe)  # tunnel-safe true sync, scalar-sized
                 t_pre = time.monotonic()
-                disp, depth, probe = self._net_stage(self.params, x)
+                disp, depth, conf, probe = self._net_stage(self.params, x)
                 _ = np.asarray(probe)  # complete the net stage before the
                 t_net = time.monotonic()  # next batch's pre-stage runs
                 self.metrics.preprocess_latency.record(t_pre - t0)
                 self.metrics.network_latency.record(t_net - t_pre)
-                self._inflight_q.put((frames, disp, depth, probe, t0, None))
+                self._inflight_q.put((frames, disp, depth, conf, probe, t0))
             else:
                 if asm[0] == "ring":
-                    disp, depth, probe = self._pipeline_ring(
+                    disp, depth, conf, probe = self._pipeline_ring(
                         self.params, asm[1], asm[2]
                     )
                 else:
-                    disp, depth, probe = self._pipeline(self.params, asm[1])
-                self._inflight_q.put((frames, disp, depth, probe, t0, None))
+                    disp, depth, conf, probe = self._pipeline(
+                        self.params, asm[1]
+                    )
+                self._inflight_q.put((frames, disp, depth, conf, probe, t0))
             self.metrics.dispatch_batch.record(len(frames))
             with self._in_progress_lock:
                 self._in_progress -= 1
@@ -579,7 +597,7 @@ class StereoEngine:
         nan_guard = self.cfg.engine.nan_guard
         while not self._stop.is_set():
             try:
-                frames, disp, depth, probe, t0, t_pre = self._inflight_q.get(
+                frames, disp, depth, conf, probe, t0 = self._inflight_q.get(
                     timeout=0.1
                 )
             except queue.Empty:
@@ -589,6 +607,7 @@ class StereoEngine:
             if fetch_results:
                 disp_out = np.asarray(disp)  # true sync: host transfer
                 depth_out = np.asarray(depth) if depth is not None else None
+                conf_out = np.asarray(conf) if conf is not None else None
                 # Results are on the host anyway — flag non-finite frames
                 # there, no extra transfer.
                 bad = ~np.isfinite(disp_out).all(axis=(1, 2))
@@ -599,10 +618,8 @@ class StereoEngine:
                 # dispatches — and carries the per-frame non-finite flags;
                 # frames get lazy views, never eager slices.
                 bad = np.asarray(probe) > 0
-                disp_out, depth_out = disp, depth
+                disp_out, depth_out, conf_out = disp, depth, conf
             now = time.monotonic()
-            if t_pre is not None:
-                self.metrics.network_latency.record(now - t_pre)
             self.metrics.infer_latency.record(now - t0)
             emitted = 0
             for i, frame in enumerate(frames):
@@ -623,11 +640,17 @@ class StereoEngine:
                 if fetch_results:
                     d_i = disp_out[i]
                     z_i = depth_out[i] if depth_out is not None else None
+                    c_i = conf_out[i] if conf_out is not None else None
                 else:
                     d_i = DeviceBatchView(disp_out, i)
                     z_i = (
                         DeviceBatchView(depth_out, i)
                         if depth_out is not None
+                        else None
+                    )
+                    c_i = (
+                        DeviceBatchView(conf_out, i)
+                        if conf_out is not None
                         else None
                     )
                 self.metrics.e2e_latency.record(now - frame.timestamp)
@@ -640,6 +663,7 @@ class StereoEngine:
                         gt_disparity=frame.gt_disparity,
                         e2e_latency_s=now - frame.timestamp,
                         left_rgb=left_rgb,
+                        confidence=c_i,
                     )
                 )
                 emitted += 1

@@ -72,7 +72,7 @@ def main() -> int:
     eng = StereoEngine(cfg, model=model, params=params, compute_depth=True)
     import jax.numpy as jnp
 
-    disp_eng, depth_eng, _ = eng._pipeline(eng.params, jnp.asarray(batch))
+    disp_eng = eng._pipeline(eng.params, jnp.asarray(batch))[0]
     disp_eng = np.asarray(disp_eng)
 
     art = CompiledStereoArtifact(args.blob)

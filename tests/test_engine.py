@@ -91,6 +91,24 @@ def test_drop_on_full():
     assert eng.metrics.dropped > 0
 
 
+def test_emit_confidence_ships_per_result():
+    """emit_confidence=True rides the soft-argmin peak probability (already
+    computed by the model) out through StereoResult at 1/8 res, in [0,1];
+    default engines ship no confidence tensor."""
+    eng = StereoEngine(_small_config(), emit_confidence=True)
+    src = SyntheticStreamSource(height=64, width=128, num_frames=3, paced=False)
+    results = eng.run_stream(src)
+    assert len(results) == 3
+    for r in results:
+        c = np.asarray(r.confidence)
+        assert c.shape == (64 // 8, 128 // 8)
+        assert np.all((c >= 0.0) & (c <= 1.0))
+    # Default: absent, not a zero-filled tensor.
+    eng2 = StereoEngine(_small_config())
+    src2 = SyntheticStreamSource(height=64, width=128, num_frames=1, paced=False)
+    assert eng2.run_stream(src2)[0].confidence is None
+
+
 def test_drain_raises_on_dead_worker():
     """A worker thread that dies (e.g. device OOM mid-dispatch) must surface
     as an exception from drain()/results(), not leave the caller spinning on
