@@ -108,8 +108,26 @@ def _build_engine(args, h: Optional[int] = None, w: Optional[int] = None,
         dummy = jnp.zeros((1, cfg.camera.height, cfg.camera.width, 3), jnp.float32)
         like = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
         params = ckpt.load_params(checkpoint, like=like)
+    static_quant = None
+    calib_path = getattr(args, "int8_calib", None)
+    if calib_path:
+        # Calibrated static-scale int8 (the reference's deployment scheme:
+        # scales fixed at export, preprocess.h:236-240) — requires params.
+        from .ops.quant import make_static_quant
+
+        if params is None:
+            import jax
+            import jax.numpy as jnp
+
+            dummy = jnp.zeros((1, cfg.camera.height, cfg.camera.width, 3),
+                              jnp.float32)
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
+        static_quant = make_static_quant(
+            model, params, calib_path, cfg.camera.height, cfg.camera.width
+        )
     return StereoEngine(cfg, model=model, params=params, keep_left=keep_left,
-                        int8=getattr(args, "int8", False))
+                        int8=getattr(args, "int8", False),
+                        static_quant=static_quant)
 
 
 def _read_any_image(path: str, nv12_height: int, nv12_width: int):
@@ -144,6 +162,37 @@ def cmd_infer(args) -> int:
     from .ops import disparity as dp
     from .viz import colormap as cm
 
+    if getattr(args, "input_bin", None):
+        # Raw-tensor replay (the reference's CvtBinData2Tensors /
+        # RunBinFeedInfer golden-exchange path, preprocess.cpp:429-583):
+        # a foreign float32-normalized or int8-quantized input tensor
+        # dump goes straight to the network, bypassing preprocess.
+        from .data.bintensor import load_input_tensor
+
+        cfg = _make_config(args, h=args.bin_height, w=args.bin_width)
+        x = load_input_tensor(
+            args.input_bin, args.bin_height, args.bin_width,
+            dtype=args.bin_dtype, layout=args.bin_layout,
+            cfg=cfg.preprocess,
+        )
+        eng = _build_engine(args, h=args.bin_height, w=args.bin_width)
+        disp = eng.infer_preprocessed(x)
+        print(json.dumps({
+            "source": "bin",
+            "shape": list(disp.shape),
+            "disparity_px": {
+                "min": float(disp.min()),
+                "max": float(disp.max()),
+                "mean": float(disp.mean()),
+                "median": float(np.median(disp)),
+            },
+        }))
+        if args.out:
+            cm.save_png(args.out, cm.colorize_disparity(disp))
+            print(f"wrote {args.out}", file=sys.stderr)
+        return 0
+    if not args.left or not args.right:
+        raise SystemExit("infer needs --left/--right images or --input-bin")
     left = _read_any_image(args.left, args.nv12_height, args.nv12_width)
     right = _read_any_image(args.right, args.nv12_height, args.nv12_width)
     h, w = left.shape[:2]
@@ -204,13 +253,40 @@ def cmd_stream(args) -> int:
     else:
         eng = _build_engine(args, keep_left=serve_port is not None)
         h, w = eng.cfg.camera.height, eng.cfg.camera.width
-    src = SyntheticStreamSource(
-        height=h,
-        width=w,
-        fps=args.fps,
-        num_frames=args.frames,
-        paced=not args.unpaced,
-    )
+    if getattr(args, "left_list", None) or getattr(args, "right_list", None):
+        # Image-list replay (the reference's RunImglistFeedInfer feedback
+        # harness, stereonet_node.cpp:820-976 — fps flag instead of its
+        # hard-coded 300 ms pacing).
+        if not (args.left_list and args.right_list):
+            raise SystemExit("--left-list and --right-list go together")
+        from .data.stream import ImageListStreamSource, read_list_file
+
+        src = ImageListStreamSource(
+            read_list_file(args.left_list), read_list_file(args.right_list),
+            fps=args.fps, paced=not args.unpaced,
+        )
+        if args.frames:
+            import itertools
+
+            src = itertools.islice(iter(src), args.frames)
+    else:
+        src = SyntheticStreamSource(
+            height=h,
+            width=w,
+            fps=args.fps,
+            num_frames=args.frames,
+            paced=not args.unpaced,
+        )
+    ring_mode = getattr(args, "ring", None)
+    if ring_mode is None:
+        # Default: list replay decodes images on the capture side — run it
+        # through the capture-thread ring (the reference decouples capture
+        # from inference across processes via hbmem; stereonet_node.h:95-97).
+        ring_mode = bool(getattr(args, "left_list", None))
+    if ring_mode:
+        from .data.stream import ThreadedCaptureSource
+
+        src = ThreadedCaptureSource(src)
     server = None
     if serve_port is not None:
         from .viz.server import DisplayServer
@@ -346,11 +422,16 @@ def cmd_slam(args) -> int:
     cam = CameraConfig(width=args.width, height=args.height)
     rng = np.random.default_rng(args.seed)
     scene = LayeredScene(rng, cam.height, cam.width, cam.focal_px, cam.baseline_m)
-    slam = StereoSLAM(cam, SLAMConfig(keyframe_translation_m=0.08))
+    conf_gate = getattr(args, "confidence_gate", 0.0) or 0.0
+    slam = StereoSLAM(cam, SLAMConfig(keyframe_translation_m=0.08,
+                                      min_confidence=conf_gate))
 
     eng = None
     if not args.gt_disparity:
         eng = _build_engine(args, h=cam.height, w=cam.width)
+    elif conf_gate > 0:
+        raise SystemExit("--confidence-gate needs network disparity "
+                         "(drop --gt-disparity)")
 
     ts = np.linspace(0, 1, args.frames)
     gt_centers = np.stack(
@@ -359,9 +440,13 @@ def cmd_slam(args) -> int:
     tracked = 0
     for tx, ty, _ in gt_centers:
         l, r, d = scene.render(float(tx), float(ty))
+        conf = None
         if eng is not None:
-            d = eng.infer(l, r)
-        out = slam.process(l, d)
+            if conf_gate > 0:
+                d, conf = eng.infer_with_confidence(l, r)
+            else:
+                d = eng.infer(l, r)
+        out = slam.process(l, d, confidence=conf)
         tracked += int(out["tracked"])
     slam.refine_window(window=4)
     loops = 0
@@ -381,10 +466,42 @@ def cmd_slam(args) -> int:
                 "tracked": tracked,
                 "keyframes": len(slam.state.keyframes),
                 "disparity_source": "gt" if args.gt_disparity else "network",
+                **({"confidence_gate": conf_gate} if conf_gate > 0 else {}),
                 **({"loops_closed": loops} if args.loop_closure else {}),
             }
         )
     )
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    """Offline int8 calibration (the vendor toolchain's calibration step,
+    which bakes activation scales into the .hbm at conversion time): run N
+    synthetic frames through the model eagerly, record per-conv max
+    activations, write a scales JSON for --int8-calib / export."""
+    import numpy as np
+
+    from .data.loader import SyntheticStereoDataset
+    from .ops import preprocess as pp
+    from .ops.quant import calibrate_activation_scales, save_calibration
+
+    eng = _build_engine(args, h=args.height, w=args.width)
+    ds = SyntheticStereoDataset(size=args.frames, height=args.height,
+                                width=args.width, seed=args.seed)
+
+    def batches():
+        for i in range(len(ds)):
+            s = ds[i]
+            x = pp.rgb_pair_to_model_input(s.left, s.right,
+                                           eng.cfg.preprocess)
+            yield pp.split_model_input(x)
+
+    calib = calibrate_activation_scales(eng.model, eng.params, batches())
+    save_calibration(args.out, calib)
+    print(json.dumps({"out": args.out, "convs": len(calib),
+                      "frames": args.frames,
+                      "scale_range": [min(calib.values()),
+                                      max(calib.values())]}))
     return 0
 
 
@@ -414,12 +531,21 @@ def cmd_export(args) -> int:
     from .runtime.artifact import export_artifact
 
     cfg = _make_config(args)
-    eng = _build_engine(args)  # resolves model + checkpoint params
+    eng = _build_engine(args)  # resolves model + checkpoint params (and
+    #                            builds static_quant when --int8-calib given)
+    static_quant = None
+    if getattr(args, "int8_calib", None):
+        from .ops.quant import make_static_quant
+
+        static_quant = make_static_quant(
+            eng.model, eng.params, args.int8_calib,
+            cfg.camera.height, cfg.camera.width,
+        )
     buckets = tuple(int(b) for b in args.buckets.split(","))
     manifest = export_artifact(
         args.out, eng.model, eng.params, cfg,
         buckets=buckets, platforms=tuple(args.platforms.split(",")),
-        int8=args.int8,
+        int8=args.int8, static_quant=static_quant,
     )
     import os
 
@@ -443,8 +569,30 @@ def cmd_dump(args) -> int:
     right = pad_to_multiple(_read_image(args.right), 16)
     eng = _build_engine(args, h=left.shape[0], w=left.shape[1])
     tensors = dump_pipeline(eng.model, eng.params, left, right, eng.cfg, path=args.out)
-    print(json.dumps({"tensors": len(tensors), "out": args.out,
-                      "names": sorted(tensors)[:8]}))
+    out = {"tensors": len(tensors), "out": args.out,
+           "names": sorted(tensors)[:8]}
+    if getattr(args, "bin_out", None):
+        # Raw .bin exchange set (the reference's loose golden files:
+        # in_data_merge_norm.bin / in_data_nchw.bin / output dumps,
+        # preprocess.cpp:540-548,730-812): float-normalized NCHW input,
+        # its int8 quantization, and the disparity — readable by any
+        # toolkit, diffable with `stereod compare`.
+        from .data.bintensor import save_bin_dir, save_input_tensor
+        import os
+
+        x = tensors["input_normalized"]
+        save_bin_dir(args.bin_out, {
+            "input_normalized": x,
+            "disparity": tensors["disparity"],
+        })
+        save_input_tensor(os.path.join(args.bin_out, "input_float_nchw.raw"),
+                          x, dtype="float32", layout="nchw",
+                          cfg=eng.cfg.preprocess)
+        save_input_tensor(os.path.join(args.bin_out, "input_quant_nchw.raw"),
+                          x, dtype="int8", layout="nchw",
+                          cfg=eng.cfg.preprocess)
+        out["bin_out"] = args.bin_out
+    print(json.dumps(out))
     return 0
 
 
@@ -540,6 +688,11 @@ def main(argv=None) -> int:
                         help="run the network w8a8 int8 (the reference's "
                              "whole network is int8 on the BPU; same "
                              "checkpoint, convs swapped at apply time)")
+        sp.add_argument("--int8-calib", default=None, metavar="JSON",
+                        help="calibrated static activation scales (stereod "
+                             "calibrate) — selects the static-scale int8 "
+                             "path (no runtime scale reductions, the "
+                             "reference's deployment scheme)")
         sp.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans: every jitted function "
                              "re-runs op-by-op on the first NaN and raises "
@@ -552,8 +705,21 @@ def main(argv=None) -> int:
                     help="frame width for raw .nv12 inputs")
     pi.add_argument("--nv12-height", type=int, default=720,
                     help="frame height for raw .nv12 inputs")
-    pi.add_argument("--left", required=True)
-    pi.add_argument("--right", required=True)
+    pi.add_argument("--left", default=None)
+    pi.add_argument("--right", default=None)
+    pi.add_argument("--input-bin", default=None, metavar="BIN",
+                    help="raw preprocessed input-tensor dump (float32 "
+                         "normalized or int8 quantized, the reference's "
+                         "CvtBinData2Tensors golden-exchange format) — "
+                         "replaces --left/--right")
+    pi.add_argument("--bin-layout", default="nchw", choices=["nchw", "nhwc"],
+                    help="tensor layout of --input-bin (reference dumps "
+                         "are NCHW)")
+    pi.add_argument("--bin-dtype", default="auto",
+                    choices=["auto", "float32", "int8"],
+                    help="element type of --input-bin (auto = from size)")
+    pi.add_argument("--bin-height", type=int, default=720)
+    pi.add_argument("--bin-width", type=int, default=1280)
     pi.add_argument("--out", default=None, help="composite PNG path")
     pi.add_argument("--checkpoint", default=None,
                     help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
@@ -567,6 +733,14 @@ def main(argv=None) -> int:
     ps.add_argument("--frames", type=int, default=30)
     ps.add_argument("--fps", type=float, default=15.0)
     ps.add_argument("--unpaced", action="store_true")
+    ps.add_argument("--left-list", default=None, metavar="FILE",
+                    help="replay (left) image-list file instead of the "
+                         "synthetic stream (RunImglistFeedInfer analog)")
+    ps.add_argument("--right-list", default=None, metavar="FILE")
+    ps.add_argument("--ring", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="run capture in its own thread through the native "
+                         "SPSC frame ring (default: on for list replay)")
     ps.add_argument("--checkpoint", default=None,
                     help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     ps.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -614,8 +788,26 @@ def main(argv=None) -> int:
     pv.add_argument("--loop-closure", action="store_true",
                     help="detect loop closures and optimize the keyframe "
                          "pose graph")
+    pv.add_argument("--confidence-gate", type=float, default=0.0,
+                    metavar="P",
+                    help="triangulate only keypoints whose network match "
+                         "confidence >= P (network-disparity path only; "
+                         "0 disables)")
     common(pv)
     pv.set_defaults(fn=cmd_slam)
+
+    pq = sub.add_parser("calibrate", help="offline int8 activation-scale "
+                                          "calibration -> scales JSON")
+    pq.add_argument("--out", required=True)
+    pq.add_argument("--frames", type=int, default=8)
+    pq.add_argument("--height", type=int, default=256)
+    pq.add_argument("--width", type=int, default=512)
+    pq.add_argument("--seed", type=int, default=4242,
+                    help="calibration-set seed (disjoint from train/eval)")
+    pq.add_argument("--checkpoint", default=None,
+                    help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
+    common(pq)
+    pq.set_defaults(fn=cmd_calibrate)
 
     pt = sub.add_parser("train", help="train on synthetic data")
     pt.add_argument("--steps", type=int, default=100)
@@ -646,12 +838,18 @@ def main(argv=None) -> int:
     pd.add_argument("--left", required=True)
     pd.add_argument("--right", required=True)
     pd.add_argument("--out", required=True)
+    pd.add_argument("--bin-out", default=None, metavar="DIR",
+                    help="also write raw .bin exchange tensors (float "
+                         "NCHW input, int8 quantized input, disparity) "
+                         "for foreign-toolkit diffing")
     pd.add_argument("--checkpoint", default=None,
                     help="params dir (default: crowned flagship checkpoint if installed; 'none' forces random init)")
     common(pd)
     pd.set_defaults(fn=cmd_dump)
 
-    pc = sub.add_parser("compare", help="diff two golden dumps")
+    pc = sub.add_parser("compare", help="diff two golden dumps (.npz, a "
+                                        ".bin dump dir, or a single raw "
+                                        ".bin tensor)")
     pc.add_argument("a")
     pc.add_argument("b")
     pc.add_argument("--rtol", type=float, default=1e-4)

@@ -267,6 +267,12 @@ class SLAMConfig:
     ba_iterations: int = 10
     ba_damping: float = 1e-4
     huber_delta_px: float = 3.0
+    # Minimum soft-argmin peak probability (the network's match
+    # confidence, StereoResult.confidence) for a keypoint's disparity to
+    # be triangulated into the map; 0 disables the gate.  The reference's
+    # BPU blob hides this signal entirely — exposing and consuming it is
+    # a capability the reference cannot offer.
+    min_confidence: float = 0.0
 
 
 # ---------------------------------------------------------------------------

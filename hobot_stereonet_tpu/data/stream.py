@@ -169,6 +169,145 @@ class DeviceFrameRing:
             )
 
 
+class ThreadedCaptureSource:
+    """Capture-thread decoupling over any frame source, transported through
+    the native SPSC :class:`~..runtime.hostio.FrameRing`.
+
+    The reference runs the camera in its own process and ships frames to
+    the inference node over hbmem zero-copy shared memory
+    (``stereonet_node.h:95-97``) — capture pacing and image decode never
+    block inference, and a slow consumer drops frames instead of stalling
+    the camera.  This is that topology inside one process: a producer
+    thread iterates the wrapped source (decode + pacing happen there) and
+    pushes raw frame bytes into the lock-free C++ ring
+    (``native/hostio.cpp``); the consuming iterator pops on the feed side.
+    Frame metadata that can't ride the byte ring (GT disparity for
+    eval-over-stream) travels in a bounded side map keyed by the frame
+    index the ring does carry.
+
+    Falls back to a plain deque ring (same drop-on-full semantics) when no
+    C++ toolchain is available — the product path stays importable
+    anywhere, just without the native transport.
+    """
+
+    def __init__(self, source, capacity: int = 8,
+                 use_native: Optional[bool] = None):
+        self.source = source
+        self.capacity = capacity
+        if use_native is None:
+            from ..runtime import hostio
+
+            use_native = hostio.available()
+        self.use_native = use_native
+        self.dropped = 0
+
+    def __iter__(self) -> Iterator[Frame]:
+        import queue as _queue
+        import threading
+
+        meta: dict = {}
+        meta_lock = threading.Lock()
+        done = threading.Event()
+        error: list = []  # producer exception, re-raised on the feed side
+        geom: list = []  # [(height, full_width)] set by the first frame
+        geom_ready = threading.Event()
+        ring = None
+        fallback: "_queue.Queue" = _queue.Queue(maxsize=self.capacity)
+
+        def produce():
+            nonlocal ring
+            try:
+                for frame in self.source:
+                    buf = np.ascontiguousarray(
+                        np.asarray(frame.sbs_nv12), np.uint8
+                    )
+                    if not geom:
+                        geom.append((frame.height, frame.full_width))
+                        if self.use_native:
+                            from ..runtime.hostio import FrameRing
+
+                            ring = FrameRing(buf.nbytes, self.capacity)
+                        geom_ready.set()
+                    with meta_lock:
+                        meta[frame.index] = (frame.gt_disparity,
+                                             frame.timestamp)
+                    if ring is not None:
+                        ok = ring.push(buf, frame.timestamp, frame.index)
+                    else:
+                        try:
+                            fallback.put_nowait(
+                                (buf, frame.timestamp, frame.index)
+                            )
+                            ok = True
+                        except _queue.Full:
+                            ok = False
+                    if not ok:
+                        # Ring full: drop the newest frame, exactly the
+                        # engine/reference drop policy — capture never
+                        # blocks on a slow consumer.
+                        self.dropped += 1
+                        with meta_lock:
+                            meta.pop(frame.index, None)
+            finally:
+                geom_ready.set()
+                done.set()
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="capture-producer")
+        t.start()
+        try:
+            geom_ready.wait()
+            if not geom:
+                return  # empty source
+            height, full_width = geom[0]
+            while True:
+                item = None
+                if ring is not None:
+                    item = ring.pop()
+                else:
+                    try:
+                        item = fallback.get_nowait()
+                    except _queue.Empty:
+                        item = None
+                if item is None:
+                    if done.is_set() and (
+                        len(ring) == 0 if ring is not None
+                        else fallback.empty()
+                    ):
+                        break
+                    time.sleep(0.001)
+                    continue
+                buf, ts, idx = item
+                with meta_lock:
+                    gt, ts0 = meta.pop(idx, (None, ts))
+                yield Frame(ts0, buf, height, full_width, gt, int(idx))
+        finally:
+            done.wait(timeout=5.0)
+            t.join(timeout=5.0)
+            if ring is not None:
+                self.dropped += 0  # native counter folded below
+                self.dropped = max(self.dropped, ring.dropped)
+                ring.close()
+
+
+def read_list_file(path: str) -> List[str]:
+    """One image path per line (the reference's .list files,
+    ``stereonet_node.cpp:832-887``); blank lines and #-comments ignored;
+    relative paths resolve against the list file's directory."""
+    import os
+
+    base = os.path.dirname(os.path.abspath(path))
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            out.append(line if os.path.isabs(line)
+                       else os.path.join(base, line))
+    return out
+
+
 class ImageListStreamSource:
     """Replay of (left, right) image-file pairs at a fixed pace — the
     reference's image-list feedback mode, minus the 300 ms hard-coding."""

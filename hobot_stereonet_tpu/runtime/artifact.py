@@ -26,20 +26,20 @@ reference hands an ``.hbm`` to the node; a user of this framework hands a
 
 from __future__ import annotations
 
-import io
 import json
 import queue
-import threading
 import time
 import zipfile
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
+
+from .serving import ServingLoop
 
 FORMAT_VERSION = 1
 MANIFEST = "manifest.json"
 
 
 def _pipeline_fns(model, params, cfg, int8: bool = False,
-                  portable: bool = True):
+                  portable: bool = True, static_quant=None):
     """(nv12_fn, rgb_fn): the two serving contracts, params closed over.
 
     ``portable=True`` forces the XLA NV12 path: a multi-platform artifact
@@ -52,7 +52,7 @@ def _pipeline_fns(model, params, cfg, int8: bool = False,
     from ..ops import preprocess as pp
     from ..ops.quant import make_apply_fn
 
-    apply_fn = make_apply_fn(model, int8)
+    apply_fn = make_apply_fn(model, int8, static_quant)
     camera = cfg.camera
     H, W = camera.height, camera.width
     use_pallas = False if portable else None
@@ -85,6 +85,7 @@ def export_artifact(
     buckets: Sequence[int] = (1, 8),
     platforms: Sequence[str] = ("cpu", "tpu"),
     int8: bool = False,
+    static_quant=None,
 ) -> dict:
     """Lower + serialize the serving pipeline for each batch bucket and
     write a ``.stereoblob`` zip.  Returns the manifest dict."""
@@ -97,7 +98,8 @@ def export_artifact(
     frame_len = H * (2 * W) * 3 // 2
     portable = any(p != "tpu" for p in platforms)
     nv12_fn, rgb_fn = _pipeline_fns(model, params, cfg, int8=int8,
-                                    portable=portable)
+                                    portable=portable,
+                                    static_quant=static_quant)
 
     entries = {}
     for b in sorted(set(int(x) for x in buckets)):
@@ -120,6 +122,8 @@ def export_artifact(
         "width": W,
         "frame_len": frame_len,
         "int8": bool(int8),
+        "quant": ("static" if static_quant is not None
+                  else "dynamic" if int8 else "none"),
         "model": type(model).__name__,
         "config": cfg.to_dict(),
         "outputs": ["disparity_px[B,H,W]f32", "depth_m[B,H,W]f32"],
@@ -222,17 +226,18 @@ class CompiledStereoArtifact:
         self.close()
 
 
-class ArtifactEngine:
+class ArtifactEngine(ServingLoop):
     """Async streaming engine over a loaded ``.stereoblob`` — the
     deployment-side serving loop.
 
     This is what the reference's runtime actually is: a node wrapped around
     a pre-compiled blob with an async task pool (``StereonetNode`` +
     ``dnn_node`` ``task_num=4``, ``stereonet_node.cpp:129-147``) — no model
-    code, no checkpoint, just feed tensors.  Same surface as
-    :class:`~.engine.StereoEngine` (feed/poll/results/run_stream, metrics,
-    NaN-frame guard, geometry validation + drop) so downstream consumers
-    are engine-agnostic; micro-batching pads to the artifact's exported
+    code, no checkpoint, just feed tensors.  The feed/dispatch/fetch
+    machine (micro-batching, geometry validation + drop, drain/results,
+    worker-death surfacing) is :class:`~.serving.ServingLoop`, shared with
+    :class:`~.engine.StereoEngine`, so downstream consumers are
+    engine-agnostic; micro-batching pads to the artifact's exported
     buckets.
 
     Kept deliberately simpler than StereoEngine: host-resident results
@@ -241,11 +246,11 @@ class ArtifactEngine:
     fixed-function programs, like ``.hbm`` blobs).
     """
 
+    _thread_prefix = "artifact"
+
     def __init__(self, artifact, inflight: int = 4,
                  feed_queue_depth: int = 64, drop_on_full: bool = True,
                  nan_guard: bool = True, max_batch: Optional[int] = None):
-        import numpy as np
-
         self.artifact = (
             artifact
             if isinstance(artifact, CompiledStereoArtifact)
@@ -253,7 +258,6 @@ class ArtifactEngine:
         )
         m = self.artifact.manifest
         self.height, self.width = m["height"], m["width"]
-        self._expected_len = m["frame_len"]
         self.max_batch = max_batch or max(self.artifact.buckets)
         if self.max_batch not in self.artifact.buckets:
             raise ValueError(
@@ -261,18 +265,14 @@ class ArtifactEngine:
                 f"{self.artifact.buckets}"
             )
         self.nan_guard = nan_guard
-        self.drop_on_full = drop_on_full
-
-        from .metrics import EngineMetrics
-
-        self.metrics = EngineMetrics()
-        self._feed_q: "queue.Queue" = queue.Queue(maxsize=feed_queue_depth)
-        self._inflight_q: "queue.Queue" = queue.Queue(maxsize=max(inflight, 1))
-        self._result_q: "queue.Queue" = queue.Queue()
-        self._in_progress = 0
-        self._in_progress_lock = threading.Lock()
-        self._stop = threading.Event()
-        self._threads: list = []
+        self._init_serving(
+            expected_len=m["frame_len"],
+            height=self.height,
+            width=self.width,
+            feed_queue_depth=feed_queue_depth,
+            inflight=inflight,
+            drop_on_full=drop_on_full,
+        )
 
     # -- lifecycle ------------------------------------------------------
     def warmup(self) -> None:
@@ -282,104 +282,8 @@ class ArtifactEngine:
         d, _ = self.artifact.call_nv12_async(dummy)
         np.asarray(d)
 
-    def start(self, warmup: bool = True) -> "ArtifactEngine":
-        if warmup:
-            self.warmup()
-        self._stop.clear()
-        self._threads = [
-            threading.Thread(target=self._dispatch_loop, daemon=True,
-                             name="artifact-dispatch"),
-            threading.Thread(target=self._fetch_loop, daemon=True,
-                             name="artifact-fetch"),
-        ]
-        for t in self._threads:
-            t.start()
-        return self
-
-    def stop(self) -> None:
-        self._stop.set()
-        for t in self._threads:
-            t.join(timeout=30.0)
-        self._threads = []
-
-    def __enter__(self):
-        return self.start()
-
-    def __exit__(self, *exc):
-        self.stop()
-
-    # -- producer/consumer (same contract as StereoEngine) ---------------
-    def feed(self, frame) -> bool:
-        import numpy as np
-
-        buf = frame.sbs_nv12
-        if (
-            buf.dtype != np.uint8
-            or buf.size != self._expected_len
-            or frame.full_width != 2 * self.width
-            or frame.height != self.height
-        ):
-            self.metrics.reject()
-            return False
-        self.metrics.input_fps.tick()
-        try:
-            self._feed_q.put_nowait(frame)
-            return True
-        except queue.Full:
-            if self.drop_on_full:
-                self.metrics.drop()
-                return False
-            self._feed_q.put(frame)
-            return True
-
-    def poll(self, timeout: Optional[float] = None):
-        try:
-            return self._result_q.get(timeout=timeout)
-        except queue.Empty:
-            return None
-
-    def _idle(self) -> bool:
-        with self._in_progress_lock:
-            busy = self._in_progress
-        return busy == 0 and self._feed_q.empty() and self._inflight_q.empty()
-
-    def drain(self) -> None:
-        while not self._idle():
-            time.sleep(0.005)
-
-    def results(self, timeout: float = 5.0) -> Iterator:
-        while True:
-            res = self.poll(timeout=timeout)
-            if res is None:
-                if self._stop.is_set() or self._idle():
-                    return
-                continue
-            yield res
-
-    def run_stream(self, source, max_frames: int = 0) -> list:
-        out = []
-        with self:
-            n = 0
-            for frame in source:
-                self.feed(frame)
-                n += 1
-                if max_frames and n >= max_frames:
-                    break
-                while True:
-                    r = self.poll(timeout=0)
-                    if r is None:
-                        break
-                    out.append(r)
-            self.drain()
-            while True:
-                r = self.poll(timeout=0.2)
-                if r is None:
-                    break
-                out.append(r)
-        return out
-
     # -- workers ----------------------------------------------------------
-    def _dispatch_loop(self) -> None:
+    def _dispatch_loop_inner(self) -> None:
         import numpy as np
 
         while not self._stop.is_set():
@@ -402,7 +306,7 @@ class ArtifactEngine:
             with self._in_progress_lock:
                 self._in_progress -= 1
 
-    def _fetch_loop(self) -> None:
+    def _fetch_loop_inner(self) -> None:
         import numpy as np
 
         from .engine import StereoResult

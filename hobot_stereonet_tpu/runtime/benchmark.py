@@ -35,6 +35,7 @@ def measure_engine_fps(
     batch: int = 128,
     n_batches: int = 12,
     int8: bool = False,
+    static_quant=None,
     stage_timing: bool = False,
     device_microbatch: int = 0,
     ring_size: int = 4,
@@ -71,7 +72,8 @@ def measure_engine_fps(
         ),
     )
     eng = StereoEngine(cfg, model=model, params=params,
-                       compute_depth=False, int8=int8)
+                       compute_depth=False, int8=int8,
+                       static_quant=static_quant)
     ring = DeviceFrameRing(height=height, width=width, ring_size=ring_size)
 
     t_w = time.perf_counter()

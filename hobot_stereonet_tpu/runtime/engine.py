@@ -37,17 +37,15 @@ dispatch.
 from __future__ import annotations
 
 import queue
-import threading
 import time
-from dataclasses import dataclass, field
-from typing import Iterator, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
 from ..config import Config
-from ..data.stream import Frame
 from ..ops import preprocess as pp
-from .metrics import EngineMetrics
+from .serving import ServingLoop
 
 
 class DeviceBatchView:
@@ -97,7 +95,7 @@ class StereoResult:
     #                        engine runs with emit_confidence=True
 
 
-class StereoEngine:
+class StereoEngine(ServingLoop):
     """Compile-once, feed-many streaming engine.
 
     Usage::
@@ -109,17 +107,27 @@ class StereoEngine:
         eng.stop()
     """
 
+    _thread_prefix = "engine"
+
     def __init__(self, cfg: Config = Config(), model=None, params=None,
                  compute_depth: bool = True, keep_left: bool = False,
                  mesh=None, int8: bool = False,
-                 emit_confidence: bool = False):
+                 emit_confidence: bool = False, static_quant=None):
         import jax
         import jax.numpy as jnp
 
         from ..models import FastStereoNet
 
         self.cfg = cfg
-        self.metrics = EngineMetrics()
+        H, W = cfg.camera.height, cfg.camera.width
+        self._init_serving(
+            expected_len=H * (2 * W) * 3 // 2,
+            height=H,
+            width=W,
+            feed_queue_depth=cfg.engine.feed_queue_depth,
+            inflight=cfg.engine.inflight,
+            drop_on_full=cfg.engine.drop_on_full,
+        )
         self.model = model if model is not None else FastStereoNet(cfg.model)
         # w8a8 network path (the reference's whole network is int8 on the
         # BPU, preprocess.h:236-240 / parser.cpp:84); same checkpoint, convs
@@ -127,7 +135,10 @@ class StereoEngine:
         from ..ops.quant import make_apply_fn
 
         self.int8 = int8
-        self._apply = make_apply_fn(self.model, int8)
+        # static_quant=(calib, baked): calibrated static-scale int8 (the
+        # reference's actual scheme — scales fixed at export, no runtime
+        # reductions; preprocess.h:236-240, parser.cpp:84).
+        self._apply = make_apply_fn(self.model, int8, static_quant)
         self._compute_depth = compute_depth
         # Decode the left view for display consumers (the reference
         # JPEG-encodes and republishes it, stereonet_node.cpp:782-785).
@@ -147,9 +158,6 @@ class StereoEngine:
 
             mesh = mesh_mod.make_mesh(cfg.mesh)
         self.mesh = mesh
-
-        H, W = cfg.camera.height, cfg.camera.width
-        self._expected_len = H * (2 * W) * 3 // 2
 
         if params is None:
             dummy = jnp.zeros((1, H, W, 3), jnp.float32)
@@ -284,21 +292,6 @@ class StereoEngine:
         # call would retrace and recompile every frame.
         self._infer_fn = jax.jit(self._apply)
 
-        self._feed_q: "queue.Queue" = queue.Queue(maxsize=cfg.engine.feed_queue_depth)
-        self._inflight_q: "queue.Queue" = queue.Queue(maxsize=max(cfg.engine.inflight, 1))
-        self._result_q: "queue.Queue" = queue.Queue()
-        # Frames popped from a queue but not yet pushed to the next stage
-        # are otherwise invisible to emptiness checks (drain/results race).
-        self._in_progress = 0
-        self._in_progress_lock = threading.Lock()
-        self._stop = threading.Event()
-        self._threads = []
-        # First exception raised by a worker thread (dispatch/fetch).  A
-        # dead worker must surface in drain()/results(), not leave callers
-        # spinning on a pipeline that can never go idle (found when a
-        # stage-timing bench OOM'd the device and hung the driver).
-        self._worker_error: Optional[BaseException] = None
-
     # ------------------------------------------------------------------
     # Lifecycle
     # ------------------------------------------------------------------
@@ -351,132 +344,36 @@ class StereoEngine:
                 probe = self._pipeline(self.params, dummy)[-1]
             np.asarray(probe)  # force full execution through the tunnel
 
-    def start(self, warmup: bool = True) -> "StereoEngine":
-        if warmup:
-            self.warmup()
-        self._stop.clear()
-        self._threads = [
-            threading.Thread(target=self._dispatch_loop, daemon=True, name="dispatch"),
-            threading.Thread(target=self._fetch_loop, daemon=True, name="fetch"),
-        ]
-        for t in self._threads:
-            t.start()
-        return self
-
-    def stop(self) -> None:
-        self._stop.set()
-        for t in self._threads:
-            t.join(timeout=30.0)
-        self._threads = []
-
-    def __enter__(self):
-        return self.start()
-
-    def __exit__(self, *exc):
-        self.stop()
-
-    # ------------------------------------------------------------------
-    # Producer side
-    # ------------------------------------------------------------------
-
-    def feed(self, frame: Frame) -> bool:
-        """Enqueue a frame.  Returns False if rejected (bad geometry) or
-        dropped (queue full with drop_on_full)."""
-        if (
-            frame.sbs_nv12.dtype != np.uint8
-            or frame.sbs_nv12.size != self._expected_len
-            or frame.full_width != 2 * self.cfg.camera.width
-            or frame.height != self.cfg.camera.height
-        ):
-            self.metrics.reject()
-            return False
-        self.metrics.input_fps.tick()
-        try:
-            self._feed_q.put_nowait(frame)
-            return True
-        except queue.Full:
-            if self.cfg.engine.drop_on_full:
-                self.metrics.drop()
-                return False
-            self._feed_q.put(frame)
-            return True
-
-    # ------------------------------------------------------------------
-    # Consumer side
-    # ------------------------------------------------------------------
-
-    def poll(self, timeout: Optional[float] = None) -> Optional[StereoResult]:
-        try:
-            return self._result_q.get(timeout=timeout)
-        except queue.Empty:
-            return None
-
-    def _idle(self) -> bool:
-        with self._in_progress_lock:
-            busy = self._in_progress
-        return busy == 0 and self._feed_q.empty() and self._inflight_q.empty()
-
-    def _check_workers(self) -> None:
-        if self._worker_error is not None:
-            raise RuntimeError(
-                "engine worker thread died; pipeline cannot complete"
-            ) from self._worker_error
-
-    def results(self, timeout: float = 5.0) -> Iterator[StereoResult]:
-        """Drain results until the pipeline is idle for ``timeout`` seconds
-        or the engine is stopped.  Raises if a worker thread died."""
-        while True:
-            res = self.poll(timeout=timeout)
-            if res is None:
-                self._check_workers()
-                if self._stop.is_set() or self._idle():
-                    return
-                continue
-            yield res
-
-    def drain(self) -> None:
-        """Block until everything fed so far has been dispatched+fetched,
-        including frames currently in a worker's hands.  Raises if a worker
-        thread died (otherwise the pipeline can never go idle and this
-        would spin forever)."""
-        while not self._idle():
-            self._check_workers()
-            time.sleep(0.005)
-
-    # ------------------------------------------------------------------
-    # Convenience
-    # ------------------------------------------------------------------
-
-    def run_stream(self, source, max_frames: int = 0) -> list:
-        """Feed a stream source to completion, return all results."""
-        out = []
-        with self:
-            n = 0
-            for frame in source:
-                self.feed(frame)
-                n += 1
-                if max_frames and n >= max_frames:
-                    break
-                while True:
-                    r = self.poll(timeout=0)
-                    if r is None:
-                        break
-                    out.append(r)
-            self.drain()
-            while True:
-                r = self.poll(timeout=0.2)
-                if r is None:
-                    break
-                out.append(r)
-        return out
+    # Lifecycle, feed/poll/results/drain, run_stream, and worker-error
+    # surfacing are inherited from ServingLoop (shared with ArtifactEngine).
 
     def infer(self, left_rgb: np.ndarray, right_rgb: np.ndarray) -> np.ndarray:
         """Synchronous single-pair API (dataset eval path): RGB uint8 in,
         float disparity out."""
-        import jax
-
         x = pp.rgb_pair_to_model_input(left_rgb, right_rgb, self.cfg.preprocess)
-        left, right = pp.split_model_input(x)
+        return self.infer_preprocessed(x)
+
+    def infer_with_confidence(self, left_rgb, right_rgb):
+        """Like :meth:`infer` but also returns the [H/8, W/8] soft-argmin
+        peak-probability confidence map (the signal the reference's BPU
+        blob computes internally and discards; here it gates SLAM
+        triangulation — slam/tracker.py ``min_confidence``)."""
+        x = pp.rgb_pair_to_model_input(left_rgb, right_rgb, self.cfg.preprocess)
+        import jax.numpy as jnp
+
+        left, right = pp.split_model_input(jnp.asarray(x))
+        out = self._infer_fn(self.params, left, right)
+        return (np.asarray(out["disparity"][0]),
+                np.asarray(out["confidence"][0]))
+
+    def infer_preprocessed(self, x) -> np.ndarray:
+        """Synchronous forward on an already-normalized [1,H,W,6] input
+        tensor — the raw-tensor replay path (the reference feeds foreign
+        preprocessed dumps straight to the network via
+        ``CvtBinData2Tensors``, ``preprocess.cpp:429-583``)."""
+        import jax.numpy as jnp
+
+        left, right = pp.split_model_input(jnp.asarray(x))
         disp = self._infer_fn(self.params, left, right)["disparity"]
         return np.asarray(disp[0])
 
@@ -523,20 +420,6 @@ class StereoEngine:
         if isinstance(bufs[0], jax.Array):
             return ("batch", jnp.stack(bufs))
         return ("batch", jnp.asarray(np.stack(bufs)))
-
-    def _dispatch_loop(self) -> None:
-        try:
-            self._dispatch_loop_inner()
-        except BaseException as e:  # noqa: BLE001 — must reach drain()
-            self._worker_error = e
-            self._stop.set()
-
-    def _fetch_loop(self) -> None:
-        try:
-            self._fetch_loop_inner()
-        except BaseException as e:  # noqa: BLE001 — must reach drain()
-            self._worker_error = e
-            self._stop.set()
 
     def _dispatch_loop_inner(self) -> None:
         max_batch = self.cfg.engine.max_batch

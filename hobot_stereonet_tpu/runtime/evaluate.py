@@ -42,6 +42,7 @@ def evaluate_dataset(
     max_frames: int = 0,
     batch_compile_hw: Optional[tuple] = None,
     int8: bool = False,
+    static_quant=None,
 ) -> EvalResult:
     """Run the model over an indexable dataset of StereoSample; returns
     aggregate EPE/D1.  Pads each frame to the network's stride multiple and
@@ -68,7 +69,7 @@ def evaluate_dataset(
 
     from ..ops.quant import make_apply_fn
 
-    apply_fn = make_apply_fn(model, int8)  # w8a8 path (VERDICT r1 #5)
+    apply_fn = make_apply_fn(model, int8, static_quant)  # w8a8 path (VERDICT r1 #5)
 
     @jax.jit
     def fwd(params, left, right):

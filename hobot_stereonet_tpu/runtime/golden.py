@@ -96,21 +96,44 @@ def compare(
             ok = False
             continue
         ta, tb = np.asarray(a[k]), np.asarray(b[k])
+        reshaped = False
         if ta.shape != tb.shape:
-            report[k] = {"status": "shape", "a": ta.shape, "b": tb.shape}
-            ok = False
-            continue
+            if ta.size == tb.size:
+                # Foreign raw .bin dumps carry no shape — compare the flat
+                # values and say so (the reference's golden diffs are flat
+                # byte streams too).
+                ta, tb = ta.ravel(), tb.ravel()
+                reshaped = True
+            else:
+                report[k] = {"status": "shape", "a": ta.shape, "b": tb.shape}
+                ok = False
+                continue
         diff = np.abs(ta.astype(np.float64) - tb.astype(np.float64))
         max_abs = float(diff.max()) if diff.size else 0.0
         tol = atol + rtol * np.abs(tb.astype(np.float64))
         n_bad = int((diff > tol).sum())
         match = n_bad == 0
         report[k] = {"status": "ok" if match else "mismatch",
-                     "max_abs_diff": max_abs, "n_bad": n_bad}
+                     "max_abs_diff": max_abs, "n_bad": n_bad,
+                     **({"flat_compare": True} if reshaped else {})}
         ok = ok and match
     return ok, report
 
 
 def load_dump(path: str) -> Dict[str, np.ndarray]:
+    """Load a dump: a .npz archive, a directory of raw ``.bin`` tensors
+    (``data.bintensor.load_bin_dir`` — the foreign-toolkit exchange
+    format), or a single raw ``.bin`` file (loaded flat as float32, keyed
+    by its stem)."""
+    import os
+
+    if os.path.isdir(path):
+        from ..data.bintensor import load_bin_dir
+
+        return load_bin_dir(path)
+    if path.endswith(".bin"):
+        raw = np.fromfile(path, dtype=np.uint8)
+        arr = raw.view(np.float32) if raw.size % 4 == 0 else raw
+        return {os.path.splitext(os.path.basename(path))[0]: arr}
     data = np.load(path)
     return {k: data[k] for k in data.files}

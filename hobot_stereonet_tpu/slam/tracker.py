@@ -69,12 +69,27 @@ class StereoSLAM:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _make_keyframe(self, index, R, t, kp: Keypoints, disp) -> Keyframe:
+    def _make_keyframe(self, index, R, t, kp: Keypoints, disp,
+                       confidence=None) -> Keyframe:
         d = disp[kp.xy[:, 1].astype(jnp.int32), kp.xy[:, 0].astype(jnp.int32)]
         pts_cam, tri_valid = triangulate(kp.xy, d, self.camera)
         Rinv, tinv = se3.inverse(jnp.asarray(R), jnp.asarray(t))
         pts_w = se3.transform(Rinv, tinv, pts_cam)
-        valid = np.asarray(kp.valid & tri_valid)
+        valid = kp.valid & tri_valid
+        if confidence is not None and self.cfg.min_confidence > 0.0:
+            # Confidence gate: only map points whose disparity the network
+            # is sure about (soft-argmin peak probability at 1/8 res —
+            # StereoEngine emit_confidence).  A wrong-but-confident
+            # disparity becomes a bad landmark that PnP must outvote;
+            # gating removes them at the source.
+            conf = jnp.asarray(confidence)
+            sh, sw = disp.shape[0] / conf.shape[0], disp.shape[1] / conf.shape[1]
+            cy = jnp.clip((kp.xy[:, 1] / sh).astype(jnp.int32), 0,
+                          conf.shape[0] - 1)
+            cx = jnp.clip((kp.xy[:, 0] / sw).astype(jnp.int32), 0,
+                          conf.shape[1] - 1)
+            valid = valid & (conf[cy, cx] >= self.cfg.min_confidence)
+        valid = np.asarray(valid)
         return Keyframe(
             index=index,
             R=np.asarray(R),
@@ -84,8 +99,13 @@ class StereoSLAM:
             valid=valid,
         )
 
-    def process(self, left_image: np.ndarray, disparity: np.ndarray) -> dict:
-        """One frame.  Returns {"pose": (R, t), "tracked": bool, ...}."""
+    def process(self, left_image: np.ndarray, disparity: np.ndarray,
+                confidence: Optional[np.ndarray] = None) -> dict:
+        """One frame.  Returns {"pose": (R, t), "tracked": bool, ...}.
+
+        ``confidence``: optional [H/8, W/8] soft-argmin peak-probability
+        map (StereoEngine ``emit_confidence``) — gates which keypoints
+        become landmarks when ``SLAMConfig.min_confidence`` > 0."""
         st = self.state
         img = jnp.asarray(left_image)
         disp = jnp.asarray(disparity)
@@ -93,7 +113,8 @@ class StereoSLAM:
 
         if not st.keyframes:
             R, t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
-            st.keyframes.append(self._make_keyframe(0, R, t, kp, disp))
+            st.keyframes.append(
+                self._make_keyframe(0, R, t, kp, disp, confidence))
             st.poses.append((R, t))
             st.trajectory.append(self._center(R, t))
             st.frames_tracked += 1
@@ -130,7 +151,8 @@ class StereoSLAM:
         is_kf = self._keyframe_due(ref, R, t, n_inl)
         if is_kf:
             st.keyframes.append(
-                self._make_keyframe(len(st.poses) - 1, R, t, kp, disp)
+                self._make_keyframe(len(st.poses) - 1, R, t, kp, disp,
+                                    confidence)
             )
             if len(st.keyframes) > self.cfg.max_keyframes:
                 # Evict the oldest NON-anchor keyframe; loop-closure

@@ -49,6 +49,16 @@ def main() -> int:
     for path in args.frontier.split(","):
         with open(path) as f:
             rows.extend(json.load(f))
+    # Dedupe by candidate name, last-seen wins: a stale duplicate row left
+    # in an earlier frontier file must not outrank the re-measured one
+    # (file order is the measurement order — later files supersede).
+    by_name = {}
+    for r in rows:
+        if r["name"] in by_name:
+            print(f"note: duplicate frontier row for {r['name']!r}; "
+                  f"keeping the later one", file=sys.stderr)
+        by_name[r["name"]] = r
+    rows = list(by_name.values())
 
     eligible = [r for r in rows if r.get("engine_fps", 0) >= args.min_fps]
     if not eligible:

@@ -100,11 +100,16 @@ def run_rung(batch: int, micro: int) -> dict:
     import os
     import subprocess
 
-    p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--rung",
-         f"{batch},{micro}"],
-        capture_output=True, text=True, timeout=1200,
-    )
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rung",
+             f"{batch},{micro}"],
+            capture_output=True, text=True, timeout=1200,
+        )
+    except subprocess.TimeoutExpired:
+        # One hung rung (e.g. a stuck remote compile) must record as a
+        # FAIL rung, not crash the whole capacity walk.
+        return {"error": "timeout after 1200s"}
     for line in reversed((p.stdout or "").strip().splitlines()):
         try:
             return json.loads(line)
@@ -121,7 +126,10 @@ def measured(run_full: bool):
         if key in out:
             return not isinstance(out[key], str)
         r = run_rung(batch, micro)
-        out.setdefault("device", r.get("platform"))
+        if r.get("platform") is not None:
+            # Failed rungs return no 'platform'; only let a real value pin
+            # the device field (a None from rung 1 must not stick).
+            out.setdefault("device", r["platform"])
         if "fps" in r:
             out[key] = r["fps"]
             return True

@@ -3,9 +3,11 @@ accuracy delta and on-chip serving throughput, as JSON — not commit-message
 folklore.
 
 Measures, for the flagship checkpoint:
-  * held-out + cross EPE at bf16 and at w8a8 int8 (same params, convs
-    swapped at apply time — ops/quant.py);
-  * engine fps with the int8 network path at the headline batch.
+  * held-out + cross EPE at bf16, dynamic w8a8 int8, and CALIBRATED
+    static-scale int8 (same params, convs swapped at apply time —
+    ops/quant.py; static scheme = the reference's, scales fixed offline,
+    no runtime reductions);
+  * engine fps for each path at the headline batch.
 
 Writes int8_report.json.
 
@@ -43,13 +45,39 @@ def main() -> int:
         params = ckpt.load_params(args.checkpoint)
     model = FastStereoNet(cfg.model)
 
+    # Calibrate static scales offline on a seed disjoint from train/eval
+    # (the vendor toolchain's calibration step).
+    from hobot_stereonet_tpu.ops import preprocess as pp
+    from hobot_stereonet_tpu.ops.quant import (
+        bake_weights, calibrate_activation_scales)
+
+    calib_ds = SyntheticStereoDataset(size=8, seed=4242, height=256,
+                                      width=512)
+
+    def calib_batches():
+        for i in range(len(calib_ds)):
+            s = calib_ds[i]
+            x = pp.rgb_pair_to_model_input(s.left, s.right, cfg.preprocess)
+            yield pp.split_model_input(x)
+
+    calib = calibrate_activation_scales(model, params, calib_batches())
+    import jax.numpy as jnp
+    dummy = jnp.zeros((1, 256, 512, 3), jnp.float32)
+    baked = bake_weights(model, params, dummy, dummy)
+    static_quant = (calib, baked)
+    print(json.dumps({"calibrated_convs": len(calib)}), flush=True)
+
     ds_in = SyntheticStereoDataset(size=args.frames, seed=777,
                                    height=256, width=512)
     ds_x = LayeredSceneDataset(size=args.frames)
     out = {"checkpoint": args.checkpoint, "eval_frames": args.frames}
-    for name, int8 in (("bf16", False), ("int8", True)):
-        r_in = evaluate_dataset(model, params, ds_in, cfg, int8=int8)
-        r_x = evaluate_dataset(model, params, ds_x, cfg, int8=int8)
+    modes = (("bf16", False, None), ("int8", True, None),
+             ("int8_static", False, static_quant))
+    for name, int8, sq in modes:
+        r_in = evaluate_dataset(model, params, ds_in, cfg, int8=int8,
+                                static_quant=sq)
+        r_x = evaluate_dataset(model, params, ds_x, cfg, int8=int8,
+                               static_quant=sq)
         out[name] = {"heldout_epe_px": r_in.to_dict()["epe_px"],
                      "heldout_d1": r_in.to_dict()["d1_all"],
                      "cross_epe_px": r_x.to_dict()["epe_px"],
@@ -57,14 +85,17 @@ def main() -> int:
         print(json.dumps({name: out[name]}), flush=True)
     out["epe_delta_px"] = round(
         out["int8"]["heldout_epe_px"] - out["bf16"]["heldout_epe_px"], 4)
+    out["epe_delta_static_px"] = round(
+        out["int8_static"]["heldout_epe_px"] - out["bf16"]["heldout_epe_px"],
+        4)
 
     if not args.no_fps:
         from hobot_stereonet_tpu.runtime.benchmark import measure_engine_fps
 
-        for name, int8 in (("bf16", False), ("int8", True)):
+        for name, int8, sq in modes:
             r = measure_engine_fps(model=model, params=params,
                                    model_cfg=cfg.model, batch=128,
-                                   n_batches=6, int8=int8,
+                                   n_batches=6, int8=int8, static_quant=sq,
                                    verbose_to=sys.stderr)
             out[name]["engine_fps"] = r["fps"]
             print(json.dumps({f"{name}_fps": r["fps"]}), flush=True)

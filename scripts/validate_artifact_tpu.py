@@ -132,7 +132,10 @@ def main() -> int:
     # assert on robust statistics instead.
     assert out["parity_mean_delta_px"] < 0.02, out
     assert out["parity_p99_delta_px"] < 0.2, out
-    assert out["parity_frac_gt_1px"] < 1e-3, out
+    # Measured mode-flip rate is 6e-5 of pixels; 3e-4 keeps 5x margin
+    # without admitting the ~920 px/frame a 1e-3 bound would have
+    # (ADVICE r3: keep the gate near the measurement, not 15x looser).
+    assert out["parity_frac_gt_1px"] < 3e-4, out
     assert out["depth_finite"]
     return 0
 

@@ -127,3 +127,20 @@ def test_config_json_controls_engine_geometry(small_cfg_json, capsys):
     assert rc == 0
     snap = json.loads(capsys.readouterr().out)
     assert snap["frames_out"] >= 1
+
+
+def test_stream_image_list_replay_through_ring(png_pair, small_cfg_json,
+                                               tmp_path, capsys):
+    """`stereod stream --left-list/--right-list` replays image pairs (the
+    RunImglistFeedInfer analog) through the capture-thread frame ring."""
+    lp, rp = png_pair
+    llist = tmp_path / "left.list"
+    rlist = tmp_path / "right.list"
+    llist.write_text(f"{lp}\n{lp}\n{lp}\n")
+    rlist.write_text(f"# comment\n{rp}\n{rp}\n{rp}\n")
+    rc = cli_main(["stream", "--left-list", str(llist),
+                   "--right-list", str(rlist), "--unpaced",
+                   "--config", small_cfg_json, "--checkpoint", "none"])
+    assert rc == 0
+    snap = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert snap["frames_out"] == 3

@@ -154,3 +154,120 @@ def test_int8_epe_delta_on_flagship():
     fp = evaluate_dataset(model, params, ds, cfg, int8=False).epe
     q8 = evaluate_dataset(model, params, ds, cfg, int8=True).epe
     assert abs(q8 - fp) < 0.05, (fp, q8)
+
+
+# ---------------------------------------------------------------------------
+# Calibrated static-scale int8 (the reference's actual scheme)
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_covers_every_conv_and_static_apply_is_close(rng):
+    """Offline calibration records a scale per conv; static apply stays
+    within quantization-noise distance of the fp32 output, comparable to
+    the dynamic scheme."""
+    from hobot_stereonet_tpu.ops.quant import (
+        bake_weights, calibrate_activation_scales, static_quantized_apply)
+
+    m = FastStereoNet(_tiny_cfg())
+    l, r = _pair(rng)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), l, r)
+
+    calib = calibrate_activation_scales(m, params, [(l, r)])
+    assert len(calib) > 4  # every conv in the tiny net
+    assert all(v > 0 for v in calib.values())
+    baked = bake_weights(m, params, l, r)
+    assert set(baked) == set(calib)
+
+    d_fp = np.asarray(m.apply(params, l, r)["disparity"])
+    d_dyn = np.asarray(quantized_apply(m, params, l, r)["disparity"])
+    d_st = np.asarray(
+        static_quantized_apply(m, calib, baked, params, l, r)["disparity"]
+    )
+    err_st = float(np.mean(np.abs(d_st - d_fp)))
+    err_dyn = float(np.mean(np.abs(d_dyn - d_fp)))
+    assert err_st < 0.75, (err_st, err_dyn)
+    # Static scales are calibrated on this very input, so the noise should
+    # be in the same ballpark as dynamic (not catastrophically worse).
+    assert err_st < 4 * err_dyn + 0.1, (err_st, err_dyn)
+
+
+def test_static_path_has_no_runtime_activation_reductions(rng):
+    """The point of calibration: the serving program must contain no
+    runtime max-reductions for activation scales (the dynamic scheme has
+    one per conv)."""
+    from hobot_stereonet_tpu.ops.quant import (
+        bake_weights, calibrate_activation_scales, make_apply_fn)
+
+    m = FastStereoNet(_tiny_cfg())
+    l, r = _pair(rng, b=1, h=32, w=64)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), l, r)
+    calib = calibrate_activation_scales(m, params, [(l, r)])
+    baked = bake_weights(m, params, l, r)
+
+    def count_reduce_max(fn):
+        jaxpr = jax.make_jaxpr(fn)(params, l, r)
+        return str(jaxpr).count("reduce_max")
+
+    n_dyn = count_reduce_max(make_apply_fn(m, int8=True))
+    n_static = count_reduce_max(make_apply_fn(m, static_quant=(calib, baked)))
+    n_fp = count_reduce_max(make_apply_fn(m))
+    assert n_dyn > n_fp  # dynamic pays a reduction per conv
+    assert n_static == n_fp  # static adds ZERO runtime reductions
+
+
+def test_calibration_json_roundtrip(tmp_path, rng):
+    from hobot_stereonet_tpu.ops.quant import (
+        calibrate_activation_scales, load_calibration, save_calibration)
+
+    m = FastStereoNet(_tiny_cfg())
+    l, r = _pair(rng, b=1, h=32, w=64)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), l, r)
+    calib = calibrate_activation_scales(m, params, [(l, r)])
+    p = str(tmp_path / "calib.json")
+    save_calibration(p, calib)
+    back = load_calibration(p)
+    assert back.keys() == calib.keys()
+    for k in calib:
+        assert abs(back[k] - calib[k]) < 1e-12
+
+
+def test_cli_calibrate_then_eval_static(tmp_path, capsys):
+    """stereod calibrate -> eval --int8-calib runs the static path end to
+    end from the CLI."""
+    import json as _json
+
+    from hobot_stereonet_tpu.cli import main as cli_main
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, width=96, height=64),
+        model=dataclasses.replace(cfg.model, compute_dtype=jnp.float32),
+    )
+    cfg_path = str(tmp_path / "cfg.json")
+    cfg.save_json(cfg_path)
+    calib_path = str(tmp_path / "calib.json")
+    rc = cli_main(["calibrate", "--out", calib_path, "--frames", "2",
+                   "--height", "64", "--width", "96",
+                   "--config", cfg_path, "--checkpoint", "none"])
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["convs"] > 4
+
+    rc = cli_main(["infer", "--input-bin", _make_bin(tmp_path, 64, 96),
+                   "--bin-height", "64", "--bin-width", "96",
+                   "--config", cfg_path, "--checkpoint", "none",
+                   "--int8-calib", calib_path])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(payload["disparity_px"]["mean"])
+
+
+def _make_bin(tmp_path, h, w):
+    from hobot_stereonet_tpu.data.bintensor import save_input_tensor
+
+    g = np.random.default_rng(0)
+    x = ((g.integers(0, 256, (1, h, w, 6)).astype(np.float32)) - 128.0) / 128.0
+    p = str(tmp_path / "in.bin")
+    save_input_tensor(p, x)
+    return p
