@@ -519,6 +519,7 @@ def cmd_train(args) -> int:
         resume_from=args.resume,
         model=_make_model(cfg, args),
         model_cfg=cfg.model,
+        color_space=cfg.preprocess.color_space,
     )
     print(json.dumps(metrics))
     return 0

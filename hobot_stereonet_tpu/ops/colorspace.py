@@ -99,6 +99,12 @@ def yuv_to_rgb(yuv: jnp.ndarray) -> jnp.ndarray:
     return bgr[..., ::-1]
 
 
+def rgb_to_yuv(rgb: jnp.ndarray) -> jnp.ndarray:
+    """HWC (or ...HWC) RGB (uint8 or float) -> YUV444 float32, BT.601
+    full-range — inverse of :func:`yuv_to_rgb`."""
+    return bgr_to_yuv(rgb[..., ::-1])
+
+
 def bgr_to_nv12(bgr: jnp.ndarray) -> jnp.ndarray:
     """HWC BGR uint8 -> flat NV12 uint8 (``Tools::BGRToNv12`` semantics,
     ``preprocess.h:56-96``): BT.601 conversion, chroma averaged over each

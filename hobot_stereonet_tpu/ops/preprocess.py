@@ -139,10 +139,18 @@ def rgb_pair_to_model_input(
     cfg: PreprocessConfig = PreprocessConfig(),
 ) -> jnp.ndarray:
     """Dataset path (SceneFlow/KITTI store RGB): [H,W,3] uint8 pair ->
-    [1,H,W,6] normalized, bypassing the YUV camera contract.  Mirrors the
-    reference's JPEG-file path ``CvtImgData2Tensors`` (``preprocess.cpp:38-404``)
-    which also normalizes per channel."""
-    stacked = jnp.concatenate([left_rgb, right_rgb], axis=-1)
+    [1,H,W,6] normalized.  Mirrors the reference's JPEG-file path
+    ``CvtImgData2Tensors`` (``preprocess.cpp:38-404``), which converts
+    file images INTO the model's colorspace before normalizing — so when
+    ``cfg.color_space == "yuv"`` (the reference's native input contract,
+    ``preprocess.cpp:975-1003``) the RGB pair converts to YUV444 here,
+    keeping datasets, training, and the NV12 stream on one distribution."""
+    left = jnp.asarray(left_rgb)
+    right = jnp.asarray(right_rgb)
+    if cfg.color_space == "yuv":
+        left = jnp.clip(cs.rgb_to_yuv(left), 0.0, 255.0)
+        right = jnp.clip(cs.rgb_to_yuv(right), 0.0, 255.0)
+    stacked = jnp.concatenate([left, right], axis=-1)
     return normalize(stacked, cfg)[None]
 
 

@@ -68,9 +68,17 @@ def _pipeline_fns(model, params, cfg, int8: bool = False,
         return disp, camera.depth_from_disparity(disp)
 
     def rgb_fn(left_u8, right_u8):
-        # [B,H,W,3] uint8 RGB pair -> (disp, depth); same normalize as
-        # ops/preprocess.py (x-128)/128.
-        to_in = lambda u: (u.astype(jnp.float32) - 128.0) / 128.0
+        # [B,H,W,3] uint8 RGB pair -> (disp, depth); same conversion +
+        # normalize contract as ops/preprocess.rgb_pair_to_model_input
+        # (honors cfg.preprocess.color_space for YUV-native checkpoints).
+        from ..ops import colorspace as cs
+
+        def to_in(u):
+            x = u.astype(jnp.float32)
+            if cfg.preprocess.color_space == "yuv":
+                x = jnp.clip(cs.rgb_to_yuv(x), 0.0, 255.0)
+            return (x - cfg.preprocess.mean) / cfg.preprocess.std
+
         disp = apply_fn(params, to_in(left_u8), to_in(right_u8))["disparity"]
         return disp, camera.depth_from_disparity(disp)
 

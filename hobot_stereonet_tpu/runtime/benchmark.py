@@ -32,6 +32,7 @@ def measure_engine_fps(
     params=None,
     model_cfg=None,
     *,
+    preprocess_cfg=None,
     batch: int = 128,
     n_batches: int = 12,
     int8: bool = False,
@@ -60,6 +61,8 @@ def measure_engine_fps(
     cfg = Config(
         camera=CameraConfig(height=height, width=width),
         model=model_cfg if model_cfg is not None else StereoNetConfig(),
+        **({"preprocess": preprocess_cfg} if preprocess_cfg is not None
+           else {}),
         engine=EngineConfig(
             max_batch=batch,
             batch_buckets=(1, batch),

@@ -28,6 +28,7 @@ def train_synthetic(
     resume_from: Optional[str] = None,
     save_every: int = 500,
     model_cfg=None,
+    color_space: str = "rgb",
 ) -> Dict:
     """Train a stereo model (default FastStereoNet) on procedural scenes;
     returns final metrics."""
@@ -74,7 +75,18 @@ def train_synthetic(
         # process lifetime (measured ~6 MB/step leak with f32 batches —
         # ~45 GB over an 8000-step run; the three-candidate round-3 sweep
         # OOM'd a 125 GB host before this fix).
-        to_in = lambda u: (u.astype(jnp.float32) - 128.0) / 128.0
+        def to_in(u):
+            x = u.astype(jnp.float32)
+            if color_space == "yuv":
+                # YUV444-native training (the reference's input contract,
+                # preprocess.cpp:975-1003): the serving path then skips
+                # the RGB epilogue entirely (preprocess_attribution.json
+                # prices it at ~10.7 ms/32-batch @720p).
+                from ..ops import colorspace as cs
+
+                x = jnp.clip(cs.rgb_to_yuv(x), 0.0, 255.0)
+            return (x - 128.0) / 128.0
+
         return raw_step(state, to_in(l_u8), to_in(r_u8), d)
 
     # Donate the state: params/opt buffers update in place in HBM instead

@@ -88,3 +88,13 @@ def test_align_up():
     assert cs.align_up(16) == 16
     assert cs.align_up(17) == 32
     assert cs.align_up(1280, 64) == 1280
+
+
+def test_rgb_to_yuv_roundtrip(rng):
+    from hobot_stereonet_tpu.ops import colorspace as cs
+    import jax.numpy as jnp
+
+    rgb = jnp.asarray(rng.integers(20, 236, (8, 12, 3)).astype(np.float32))
+    back = cs.yuv_to_rgb(cs.rgb_to_yuv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb),
+                               atol=1e-3, rtol=0)

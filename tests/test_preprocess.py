@@ -92,3 +92,35 @@ def test_rgb_pair_and_split(rng):
     lo, ro = pp.split_model_input(x)
     np.testing.assert_allclose(np.asarray(lo)[0], (np.asarray(l).astype(np.float32) - 128) / 128)
     np.testing.assert_allclose(np.asarray(ro)[0], (np.asarray(r).astype(np.float32) - 128) / 128)
+
+
+def test_rgb_pair_honors_yuv_color_space(rng):
+    """A YUV-native model config must see YUV444 from the DATASET path too
+    (training/eval/serving on one distribution — the reference's input
+    contract is YUV444, preprocess.cpp:975-1003)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from hobot_stereonet_tpu.config import PreprocessConfig
+    from hobot_stereonet_tpu.ops import colorspace as cs
+    from hobot_stereonet_tpu.ops import preprocess as pp
+
+    l = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    r = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    cfg_yuv = PreprocessConfig(color_space="yuv")
+    x = pp.rgb_pair_to_model_input(l, r, cfg_yuv)
+    want_l = (np.clip(np.asarray(cs.rgb_to_yuv(jnp.asarray(l, jnp.float32))),
+                      0, 255) - 128.0) / 128.0
+    np.testing.assert_allclose(np.asarray(x[0, ..., :3]), want_l,
+                               atol=1e-5)
+    # And the NV12 stream path agrees with the dataset path for the same
+    # underlying image (modulo 4:2:0 chroma subsampling).
+    from hobot_stereonet_tpu.data.stream import rgb_pair_to_sbs_nv12
+
+    sbs = rgb_pair_to_sbs_nv12(l, r)
+    y = pp.nv12_ingest(jnp.asarray(sbs), 16, 48, cfg_yuv)[0]
+    assert y.shape == (16, 24, 6)
+    # Luma channel matches closely (chroma differs by subsampling).
+    np.testing.assert_allclose(np.asarray(y[..., 0]),
+                               np.asarray(x[0, ..., 0]), atol=0.02)
