@@ -6,7 +6,14 @@ Baseline = 15 fps (ZED 2i real-time, the reference's live camera rate —
 BASELINE.md north star: >=10x => >=150 fps/chip).
 
 Regimes:
-  (default)       max-throughput: batch 128/dispatch (offline/batch serving)
+  (default)       max-throughput: batch 128/dispatch (offline/batch serving),
+                  bf16 — the fastest measured config (846 fps vs 822 for
+                  calibrated static int8 in fresh matched runs)
+  --int8-static   calibrated static-scale w8a8 at the flagship
+                  (checkpoints/flagship/calib.json): the reference's own
+                  deployment scheme, now at bf16 parity (-3%) where the
+                  dynamic scheme lost 27% (benchmarks/bench_default.json
+                  round-4 capture, int8_report.json)
   --streaming     camera-paced: batch 32 so per-batch latency stays inside a
                   live camera's 66 ms frame budget (32 x ~1.2 ms marginal +
                   ~25 ms RPC floor ~= 63 ms) — the number a camera-paced
@@ -34,6 +41,7 @@ import sys
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     int8 = "--int8" in argv
+    int8_static = "--int8-static" in argv
     streaming = "--streaming" in argv
     stage_timing = "--stage-timing" in argv
     out_path = None
@@ -42,12 +50,43 @@ def main(argv=None) -> None:
 
     from hobot_stereonet_tpu.runtime.benchmark import measure_engine_fps
 
+    # --int8-static: flagship + calibrated static scales (the reference's
+    # deployment scheme — offline-fixed scales like its .hbm).
+    import os
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    calib_path = os.path.join(repo, "checkpoints", "flagship", "calib.json")
+    kwargs = {}
+    static_int8 = False
+    if int8_static:
+        if not os.path.isfile(calib_path):
+            raise SystemExit("--int8-static needs checkpoints/flagship/"
+                             "calib.json (stereod calibrate)")
+        import jax
+
+        from hobot_stereonet_tpu.config import Config
+        from hobot_stereonet_tpu.models import FastStereoNet
+        from hobot_stereonet_tpu.ops.quant import make_static_quant
+        from hobot_stereonet_tpu.runtime import checkpoint as ckpt
+
+        flag = os.path.join(repo, "checkpoints", "flagship")
+        cfg = Config.from_json(os.path.join(flag, "config.json"))
+        params = ckpt.load_params(os.path.join(flag, "params"))
+        model = FastStereoNet(cfg.model)
+        sq = make_static_quant(model, params, calib_path, 720, 1280)
+        kwargs = {"model": model, "params": params, "model_cfg": cfg.model,
+                  "static_quant": sq}
+        static_int8 = True
+        print("serving config: flagship + calibrated static int8",
+              file=sys.stderr)
+
     res = measure_engine_fps(
         batch=32 if streaming else 128,
         n_batches=12,
         int8=int8,
         stage_timing=stage_timing,
         verbose_to=sys.stderr,
+        **kwargs,
     )
     if res["nan_dropped"]:
         print(
@@ -65,6 +104,7 @@ def main(argv=None) -> None:
     metric = (
         "stereo_fps_per_chip_1280x720"
         + ("_int8" if int8 else "")
+        + ("_int8static_flagship" if static_int8 else "")
         + ("_streaming" if streaming else "")
         + ("_stage_timing" if stage_timing else "")
     )
