@@ -27,7 +27,10 @@ CANDIDATES = {}
 # can't hold batch-128 activations in HBM at 720p, so it serves blockwise
 # (device_microbatch: lax.map chunks inside ONE dispatch — activation
 # memory bounded by the chunk, RPC amortization kept at the full bucket).
-FPS_OPTS = {"CLASSIC": {"batch": 128, "device_microbatch": 16}}
+# CLASSIC serving config: batch 32 + micro 8 compiles in ~32 s and holds
+# the same ~45 fps; the old batch 128 + micro 16 paid a 2102 s compile for
+# nothing (classic_diagnosis.json).
+FPS_OPTS = {"CLASSIC": {"batch": 32, "device_microbatch": 8}}
 
 
 def _build_candidates():
