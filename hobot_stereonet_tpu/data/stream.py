@@ -248,6 +248,12 @@ class ThreadedCaptureSource:
                         self.dropped += 1
                         with meta_lock:
                             meta.pop(frame.index, None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # Capture-side failures (decode errors, missing files in a
+                # replay list) must surface on the feed side, not die
+                # silently in the thread (same policy as the serving
+                # loops' worker-error surfacing).
+                error.append(e)
             finally:
                 geom_ready.set()
                 done.set()
@@ -258,6 +264,8 @@ class ThreadedCaptureSource:
         try:
             geom_ready.wait()
             if not geom:
+                if error:
+                    raise RuntimeError("capture thread died") from error[0]
                 return  # empty source
             height, full_width = geom[0]
             while True:
@@ -281,11 +289,12 @@ class ThreadedCaptureSource:
                 with meta_lock:
                     gt, ts0 = meta.pop(idx, (None, ts))
                 yield Frame(ts0, buf, height, full_width, gt, int(idx))
+            if error:
+                raise RuntimeError("capture thread died") from error[0]
         finally:
             done.wait(timeout=5.0)
             t.join(timeout=5.0)
             if ring is not None:
-                self.dropped += 0  # native counter folded below
                 self.dropped = max(self.dropped, ring.dropped)
                 ring.close()
 

@@ -172,3 +172,18 @@ def test_engine_stream_through_capture_ring():
     assert len(results) == 4
     assert sorted(r.index for r in results) == [0, 1, 2, 3]
     assert all(r.gt_disparity is not None for r in results)
+
+
+def test_threaded_capture_source_surfaces_producer_errors():
+    """A capture-side failure (bad file in a replay list) must raise on
+    the feed side, not end the stream silently short."""
+    from hobot_stereonet_tpu.data.stream import (ImageListStreamSource,
+                                                 ThreadedCaptureSource)
+
+    src = ThreadedCaptureSource(
+        ImageListStreamSource(["/nonexistent/a.png"], ["/nonexistent/b.png"],
+                              paced=False),
+        use_native=False,
+    )
+    with pytest.raises(RuntimeError, match="capture thread died"):
+        list(src)
