@@ -477,7 +477,9 @@ def cmd_slam(args) -> int:
 def cmd_calibrate(args) -> int:
     """Offline int8 calibration (the vendor toolchain's calibration step,
     which bakes activation scales into the .hbm at conversion time): run N
-    synthetic frames through the model eagerly, record per-conv max
+    synthetic frames through a JITTED recording forward (one compile +
+    one dispatch per calibration frame — eager-on-chip is an operational
+    hazard on this backend, see CLAUDE.md), record per-conv max
     activations, write a scales JSON for --int8-calib / export."""
     import numpy as np
 
@@ -532,21 +534,13 @@ def cmd_export(args) -> int:
     from .runtime.artifact import export_artifact
 
     cfg = _make_config(args)
-    eng = _build_engine(args)  # resolves model + checkpoint params (and
-    #                            builds static_quant when --int8-calib given)
-    static_quant = None
-    if getattr(args, "int8_calib", None):
-        from .ops.quant import make_static_quant
-
-        static_quant = make_static_quant(
-            eng.model, eng.params, args.int8_calib,
-            cfg.camera.height, cfg.camera.width,
-        )
+    eng = _build_engine(args)  # resolves model + checkpoint params and
+    #                            builds static_quant when --int8-calib given
     buckets = tuple(int(b) for b in args.buckets.split(","))
     manifest = export_artifact(
         args.out, eng.model, eng.params, cfg,
         buckets=buckets, platforms=tuple(args.platforms.split(",")),
-        int8=args.int8, static_quant=static_quant,
+        int8=args.int8, static_quant=eng.static_quant,
     )
     import os
 

@@ -208,6 +208,7 @@ class ThreadedCaptureSource:
         meta: dict = {}
         meta_lock = threading.Lock()
         done = threading.Event()
+        stop = threading.Event()  # consumer closed early: stop capturing
         error: list = []  # producer exception, re-raised on the feed side
         geom: list = []  # [(height, full_width)] set by the first frame
         geom_ready = threading.Event()
@@ -218,6 +219,12 @@ class ThreadedCaptureSource:
             nonlocal ring
             try:
                 for frame in self.source:
+                    if stop.is_set():
+                        # Consumer closed the iterator early (max_frames,
+                        # feed-side exception): stop promptly instead of
+                        # decoding the wrapped source to exhaustion —
+                        # forever for an unbounded paced source.
+                        break
                     buf = np.ascontiguousarray(
                         np.asarray(frame.sbs_nv12), np.uint8
                     )
@@ -292,6 +299,7 @@ class ThreadedCaptureSource:
             if error:
                 raise RuntimeError("capture thread died") from error[0]
         finally:
+            stop.set()
             done.wait(timeout=5.0)
             t.join(timeout=5.0)
             if ring is not None:

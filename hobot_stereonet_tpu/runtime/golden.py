@@ -98,10 +98,13 @@ def compare(
         ta, tb = np.asarray(a[k]), np.asarray(b[k])
         reshaped = False
         if ta.shape != tb.shape:
-            if ta.size == tb.size:
-                # Foreign raw .bin dumps carry no shape — compare the flat
-                # values and say so (the reference's golden diffs are flat
-                # byte streams too).
+            if ta.size == tb.size and (ta.ndim == 1 or tb.ndim == 1):
+                # Foreign raw .bin dumps carry no shape (they load flat,
+                # 1-D) — compare the flat values and say so (the
+                # reference's golden diffs are flat byte streams too).
+                # When BOTH sides carry authoritative shapes, a same-size
+                # mismatch is a genuine layout bug (e.g. NCHW vs NHWC):
+                # report it as a shape error, never silently flatten.
                 ta, tb = ta.ravel(), tb.ravel()
                 reshaped = True
             else:

@@ -48,9 +48,14 @@ class RateCounter:
 
 
 class LatencyStat:
-    """Running mean/min/max over the last N samples (milliseconds)."""
+    """Running mean/min/max + p50/p95/p99 over the last N samples
+    (milliseconds).  The percentiles are the product observable a
+    deployment picks an operating point on (the reference logs per-frame
+    preprocess/infer latency on every stat tick,
+    ``stereonet_node.cpp:1071-1085``; tails matter more than means for a
+    live camera)."""
 
-    def __init__(self, capacity: int = 100):
+    def __init__(self, capacity: int = 1024):
         self._samples: deque = deque(maxlen=capacity)
         self._lock = threading.Lock()
 
@@ -58,15 +63,26 @@ class LatencyStat:
         with self._lock:
             self._samples.append(seconds * 1e3)
 
+    @staticmethod
+    def _percentile(sorted_s, q: float) -> float:
+        # Nearest-rank on the retained window; exact enough for an
+        # observability counter without pulling in numpy.
+        idx = min(len(sorted_s) - 1, max(0, round(q * (len(sorted_s) - 1))))
+        return sorted_s[int(idx)]
+
     def summary(self) -> Dict[str, float]:
         with self._lock:
             if not self._samples:
-                return {"mean_ms": 0.0, "min_ms": 0.0, "max_ms": 0.0, "n": 0}
-            s = list(self._samples)
+                return {"mean_ms": 0.0, "min_ms": 0.0, "max_ms": 0.0,
+                        "p50_ms": 0.0, "p95_ms": 0.0, "p99_ms": 0.0, "n": 0}
+            s = sorted(self._samples)
         return {
             "mean_ms": sum(s) / len(s),
-            "min_ms": min(s),
-            "max_ms": max(s),
+            "min_ms": s[0],
+            "max_ms": s[-1],
+            "p50_ms": self._percentile(s, 0.50),
+            "p95_ms": self._percentile(s, 0.95),
+            "p99_ms": self._percentile(s, 0.99),
             "n": len(s),
         }
 

@@ -64,6 +64,13 @@ def main() -> int:
         "CLASSIC": ("checkpoints/frontier_CLASSIC", StereoNet,
                     frontier_mod.CANDIDATES["CLASSIC"]),
     }
+    # YUV444-native fine-tune (VERDICT r4 #1): same architecture, YUV
+    # input contract (preprocess.color_space="yuv") — included at the
+    # same statistical bar once its checkpoint exists.
+    import os
+    if os.path.isdir("checkpoints/yuv_ft"):
+        candidates["YUV_ft"] = ("checkpoints/yuv_ft", FastStereoNet,
+                                frontier_mod.CANDIDATES["A_ft"])
 
     ds_in = SyntheticStereoDataset(size=args.frames, seed=777,
                                    height=256, width=512)
@@ -78,6 +85,11 @@ def main() -> int:
         import dataclasses
 
         cfg = dataclasses.replace(Config(), model=mcfg)
+        if name == "YUV_ft":
+            from hobot_stereonet_tpu.config import PreprocessConfig
+
+            cfg = dataclasses.replace(
+                cfg, preprocess=PreprocessConfig(color_space="yuv"))
         params = ckpt.load_params(path)
         model = cls(mcfg)
         r_in = evaluate_dataset(model, params, ds_in, cfg)
@@ -94,6 +106,8 @@ def main() -> int:
 
     # Paired deltas (same scenes => per-scene difference CIs).
     pairs = [("A_ft", "A_base"), ("A_ft", "CLASSIC"), ("A_base", "CLASSIC")]
+    if "YUV_ft" in per_scene:
+        pairs.append(("YUV_ft", "A_ft"))
     out["paired_deltas"] = {}
     for a, b in pairs:
         for split in ("heldout", "cross"):

@@ -6,7 +6,10 @@ Measures, for the flagship checkpoint:
   * held-out + cross EPE at bf16, dynamic w8a8 int8, and CALIBRATED
     static-scale int8 (same params, convs swapped at apply time —
     ops/quant.py; static scheme = the reference's, scales fixed offline,
-    no runtime reductions);
+    no runtime reductions) — at the repo's statistical bar (VERDICT r4
+    #6): 120 paired scenes, per-scene quantization deltas with 95% CIs
+    (the accuracy_stats.py methodology; deltas are paired by
+    construction since every mode evaluates the identical scene set);
   * engine fps for each path at the headline batch.
 
 Writes int8_report.json.
@@ -25,7 +28,7 @@ sys.path.insert(0, "/root/repo")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="checkpoints/flagship")
-    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--no-fps", action="store_true")
     ap.add_argument("--out", default="int8_report.json")
     args = ap.parse_args()
@@ -70,24 +73,49 @@ def main() -> int:
     ds_in = SyntheticStereoDataset(size=args.frames, seed=777,
                                    height=256, width=512)
     ds_x = LayeredSceneDataset(size=args.frames)
-    out = {"checkpoint": args.checkpoint, "eval_frames": args.frames}
+    out = {"checkpoint": args.checkpoint, "eval_frames": args.frames,
+           "note": ("per-scene EPEs are paired across modes (identical "
+                    "scene sets); delta CIs are over per-scene "
+                    "quantization deltas, the accuracy_stats.py bar")}
     modes = (("bf16", False, None), ("int8", True, None),
              ("int8_static", False, static_quant))
+    per_scene = {}
     for name, int8, sq in modes:
         r_in = evaluate_dataset(model, params, ds_in, cfg, int8=int8,
                                 static_quant=sq)
         r_x = evaluate_dataset(model, params, ds_x, cfg, int8=int8,
                                static_quant=sq)
+        per_scene[name] = {"heldout": r_in.per_frame_epe,
+                           "cross": r_x.per_frame_epe}
         out[name] = {"heldout_epe_px": r_in.to_dict()["epe_px"],
                      "heldout_d1": r_in.to_dict()["d1_all"],
                      "cross_epe_px": r_x.to_dict()["epe_px"],
                      "cross_d1": r_x.to_dict()["d1_all"]}
         print(json.dumps({name: out[name]}), flush=True)
-    out["epe_delta_px"] = round(
-        out["int8"]["heldout_epe_px"] - out["bf16"]["heldout_epe_px"], 4)
-    out["epe_delta_static_px"] = round(
-        out["int8_static"]["heldout_epe_px"] - out["bf16"]["heldout_epe_px"],
-        4)
+
+    # Paired per-scene quantization deltas with 95% CIs.
+    import math
+
+    import numpy as np
+
+    def delta_stats(a, b):
+        d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+        n = len(d)
+        std = float(d.std(ddof=1)) if n > 1 else 0.0
+        sem = std / math.sqrt(n) if n > 1 else 0.0
+        return {"mean": round(float(d.mean()), 4), "std": round(std, 4),
+                "ci95": round(1.96 * sem, 4), "n": n,
+                "resolved": bool(abs(d.mean()) > 1.96 * sem)}
+
+    out["paired_deltas"] = {}
+    for name in ("int8", "int8_static"):
+        for split in ("heldout", "cross"):
+            out["paired_deltas"][f"{name}-bf16/{split}"] = delta_stats(
+                per_scene[name][split], per_scene["bf16"][split])
+    print(json.dumps(out["paired_deltas"], indent=1), flush=True)
+    out["epe_delta_px"] = out["paired_deltas"]["int8-bf16/heldout"]["mean"]
+    out["epe_delta_static_px"] = \
+        out["paired_deltas"]["int8_static-bf16/heldout"]["mean"]
 
     if not args.no_fps:
         from hobot_stereonet_tpu.runtime.benchmark import measure_engine_fps

@@ -1,14 +1,20 @@
-"""Sharded-program collective cost model (VERDICT r3 weak #8).
+"""Sharded-program collective cost model (VERDICT r3 weak #8, r4 #9).
 
 Real multi-host scaling efficiency cannot be measured on a single-chip
-rig, but the sharded program's COMMUNICATION VOLUME can: compile the
-tile-sharded 720p serving pipeline (and the sharded train step) for an
-8-device (data=4, tile=2) mesh on the virtual CPU backend, then read the
-collectives XLA's SPMD partitioner actually inserted out of the
-optimized HLO — opcode, count, and bytes moved per invocation.  That is
-the only scaling-efficiency signal this rig can produce, and it is the
-input a capacity model needs: collective bytes per frame vs ICI
-bandwidth bounds the achievable efficiency.
+rig, but the sharded program's COMMUNICATION VOLUME can: compile each
+sharded program for an 8-device (data=4, tile=2) mesh on the virtual CPU
+backend, then read the collectives XLA's SPMD partitioner actually
+inserted out of the optimized HLO — opcode, count, and bytes moved per
+invocation.  That is the only scaling-efficiency signal this rig can
+produce, and it is the input a capacity model needs: collective bytes
+per step vs ICI bandwidth bounds the achievable efficiency.
+
+Covers all four sharded programs (SURVEY §2 parallelism table):
+  * serve   — tile-sharded 720p NV12->disparity pipeline, batch 8;
+  * train   — DP+row-tiled train step at the actual training regime
+              (batch 8, 128x256 crops; runtime/training.py:128);
+  * ba      — landmark-sharded Schur bundle adjust (slam/ba.py:168);
+  * pose_graph — edge-sharded pose-graph GN (slam/pose_graph.py:122).
 
 Run (CPU, no chip needed):
     python scripts/scaling_cost_model.py
@@ -133,6 +139,68 @@ def main() -> int:
         else compiled.as_text()
     serve_stats = analyze_hlo(hlo)
 
+    def _compiled_hlo(compiled) -> str:
+        if hasattr(compiled, "runtime_executable"):
+            return "\n".join(m.to_string() for m in
+                             compiled.runtime_executable().hlo_modules())
+        return compiled.as_text()
+
+    # --- Sharded train step at the actual training regime (batch 8,
+    # 128x256 crops, runtime/train_loop.py) — DP over data, rows over tile.
+    from hobot_stereonet_tpu.parallel.mesh import (batch_image_spec,
+                                                   batch_map_spec)
+    from hobot_stereonet_tpu.runtime import training
+
+    th, tw, tb = 128, 256, args.batch
+    optimizer = training.make_optimizer()
+    state = training.create_train_state(
+        model, jax.random.PRNGKey(0), optimizer,
+        jnp.zeros((1, th, tw, 3), jnp.float32),
+        jnp.zeros((1, th, tw, 3), jnp.float32))
+    state_r = mesh_mod.replicate(mesh, state)
+    step = training.make_sharded_train_step(model, optimizer, mesh)
+    img = jax.ShapeDtypeStruct((tb, th, tw, 3), jnp.float32)
+    dmap = jax.ShapeDtypeStruct((tb, th, tw), jnp.float32)
+    print("lowering + compiling sharded train step...", flush=True)
+    train_stats = analyze_hlo(_compiled_hlo(
+        step.lower(jax.eval_shape(lambda s: s, state_r), img, img, dmap, dmap)
+        .compile()))
+
+    # --- Landmark-sharded BA + edge-sharded pose-graph GN at SLAM-session
+    # scale (slam_report.json regime: tens of keyframes, hundreds of
+    # landmarks/edges).
+    from hobot_stereonet_tpu.config import CameraConfig as _Cam
+    from hobot_stereonet_tpu.slam.ba import (BAProblem,
+                                             make_distributed_bundle_adjust)
+    from hobot_stereonet_tpu.slam.pose_graph import (
+        PoseGraph, make_distributed_pose_graph)
+
+    cam = _Cam()
+    n_poses, n_lm = 16, 512
+    problem = jax.eval_shape(lambda: BAProblem(
+        poses=(jnp.zeros((n_poses, 3, 3)), jnp.zeros((n_poses, 3))),
+        landmarks=jnp.zeros((n_lm, 3)),
+        obs=jnp.zeros((n_poses, n_lm, 2)),
+        valid=jnp.zeros((n_poses, n_lm), bool),
+    ))
+    print("lowering + compiling distributed BA...", flush=True)
+    ba_fn = make_distributed_bundle_adjust(mesh, cam, iters=6)
+    ba_stats = analyze_hlo(_compiled_hlo(
+        jax.jit(ba_fn).lower(problem).compile()))
+
+    n_nodes, n_edges = 100, 104
+    graph = jax.eval_shape(lambda: PoseGraph(
+        R=jnp.zeros((n_nodes, 3, 3)), t=jnp.zeros((n_nodes, 3)),
+        edge_i=jnp.zeros((n_edges,), jnp.int32),
+        edge_j=jnp.zeros((n_edges,), jnp.int32),
+        R_ij=jnp.zeros((n_edges, 3, 3)), t_ij=jnp.zeros((n_edges, 3)),
+        weight=jnp.zeros((n_edges,)), valid=jnp.zeros((n_edges,), bool),
+    ))
+    print("lowering + compiling distributed pose-graph GN...", flush=True)
+    pg_fn = make_distributed_pose_graph(mesh, iters=8)
+    pg_stats = analyze_hlo(_compiled_hlo(
+        jax.jit(pg_fn).lower(graph).compile()))
+
     out = {
         "mesh": {"data": args.data, "tile": args.tile},
         "geometry": f"{W}x{H}",
@@ -142,12 +210,52 @@ def main() -> int:
             "collective_bytes_per_frame": round(
                 serve_stats.get("total_collective_bytes", 0) / B, 1),
         },
+        "train_step": {
+            **train_stats,
+            "regime": f"batch {tb}, {tw}x{th} crops (the committed "
+                      f"training recipe)",
+            "collective_bytes_per_sample": round(
+                train_stats.get("total_collective_bytes", 0) / tb, 1),
+        },
+        "ba": {
+            **ba_stats,
+            "regime": f"{n_poses} poses, {n_lm} landmarks sharded/"
+                      f"{args.data}, 6 GN iters",
+        },
+        "pose_graph": {
+            **pg_stats,
+            "regime": f"{n_nodes} nodes, {n_edges} edges sharded/"
+                      f"{args.data}, 8 GN iters",
+        },
         "note": ("bytes are per-device program per invocation, from the "
                  "SPMD-partitioned optimized HLO on a virtual 8-device "
                  "mesh; the collectives ride ICI on real hardware. "
                  "Efficiency bound: frames/s <= ICI_bytes_per_s / "
                  "collective_bytes_per_frame for the comm-bound regime."),
     }
+
+    # ICI-bound derivation (same bound as the round-4 serve-only model):
+    # time the collectives would take at a conservative per-link ICI
+    # bandwidth, vs the measured single-chip compute time for that
+    # program, -> a lower bound on scaling efficiency if perfectly
+    # overlapped compute stays the critical path.
+    ICI_GBPS = 50.0
+    measured_compute_s = {
+        # serve: 201 ms/batch-32 -> ~50 ms/batch-8 (preprocess_attribution)
+        "serve_pipeline": 0.050,
+        # train: ~120 ms/step at batch 8 (train_loop.py measurement note)
+        "train_step": 0.120,
+    }
+    for prog, comp_s in measured_compute_s.items():
+        byts = out[prog].get("total_collective_bytes", 0)
+        t_comm = byts / (ICI_GBPS * 1e9)
+        out[prog]["ici_bound"] = {
+            "ici_gbps_assumed": ICI_GBPS,
+            "collective_time_ms_at_ici": round(t_comm * 1e3, 3),
+            "single_chip_compute_ms": comp_s * 1e3,
+            "efficiency_lower_bound_pct": round(
+                100.0 * comp_s / (comp_s + t_comm), 1),
+        }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

@@ -32,6 +32,11 @@ def main() -> int:
                          "orbax params dir")
     ap.add_argument("--buckets", default="1,32")
     ap.add_argument("--blob", default="/tmp/flagship_tpu.stereoblob")
+    ap.add_argument("--int8-calib", default=None,
+                    help="activation-scale JSON for the int8-static "
+                         "section (default: <checkpoint>/calib.json when "
+                         "present; the reference's deployment artifact is "
+                         "a statically-calibrated int8 blob)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", default="artifact_tpu_validation.json")
     args = ap.parse_args()
@@ -121,6 +126,64 @@ def main() -> int:
         "checkpoint": args.checkpoint,
     }
     print(json.dumps(out, indent=2))
+
+    # --- int8-static section (VERDICT r4 #5): the reference's deployment
+    # artifact IS a statically-calibrated int8 blob (preprocess.h:236-240,
+    # parser.cpp:84).  Export with the committed flagship calibration
+    # baked, validate parity against the live int8-static ENGINE (same
+    # scheme, the apples-to-apples reference) and record the delta vs the
+    # bf16 engine as deployment context.
+    calib_path = args.int8_calib or os.path.join(args.checkpoint,
+                                                 "calib.json")
+    if os.path.isfile(calib_path):
+        from hobot_stereonet_tpu.ops.quant import make_static_quant
+
+        sq = make_static_quant(model, params, calib_path,
+                               cfg.camera.height, cfg.camera.width)
+        blob8 = args.blob.replace(".stereoblob", "_int8.stereoblob")
+        t0 = time.perf_counter()
+        manifest8 = export_artifact(blob8, model, params, cfg,
+                                    buckets=buckets, platforms=("tpu",),
+                                    static_quant=sq)
+        export8_s = time.perf_counter() - t0
+        print(f"exported {blob8} ({os.path.getsize(blob8)} bytes) in "
+              f"{export8_s:.1f}s", file=sys.stderr)
+
+        eng8 = StereoEngine(cfg, model=model, params=params,
+                            compute_depth=True, static_quant=sq)
+        disp_eng8 = np.asarray(eng8._pipeline(eng8.params,
+                                              jnp.asarray(batch))[0])
+
+        art8 = CompiledStereoArtifact(blob8)
+        disp_art8, depth_art8 = art8.run_nv12(batch)
+        float(jnp.mean(art8.call_nv12_async(batch_dev)[0]))  # warm path
+        lat8 = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            d_dev, _z = art8.call_nv12_async(batch_dev)
+            float(jnp.mean(d_dev))
+            lat8.append(time.perf_counter() - t0)
+
+        d8 = np.abs(disp_art8 - disp_eng8)
+        d8_vs_bf16 = np.abs(disp_art8 - disp_eng)
+        out["int8_static"] = {
+            "calib": calib_path,
+            "blob_bytes": os.path.getsize(blob8),
+            "export_s": round(export8_s, 1),
+            "parity_vs_int8_engine_mean_px": float(d8.mean()),
+            "parity_vs_int8_engine_p99_px": float(np.percentile(d8, 99)),
+            "parity_vs_int8_engine_frac_gt_1px": float((d8 > 1.0).mean()),
+            "delta_vs_bf16_engine_mean_px": float(d8_vs_bf16.mean()),
+            "delta_vs_bf16_engine_p99_px": float(
+                np.percentile(d8_vs_bf16, 99)),
+            "artifact_latency_ms_per_batch": round(
+                1e3 * sum(lat8) / len(lat8), 1),
+            "artifact_ms_per_frame": round(
+                1e3 * sum(lat8) / len(lat8) / b, 2),
+            "depth_finite": bool(np.isfinite(depth_art8).all()),
+        }
+        print(json.dumps({"int8_static": out["int8_static"]}, indent=2))
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     # The artifact is the SAME traced program serialized, but XLA compiles
@@ -137,6 +200,14 @@ def main() -> int:
     # (ADVICE r3: keep the gate near the measurement, not 15x looser).
     assert out["parity_frac_gt_1px"] < 3e-4, out
     assert out["depth_finite"]
+    if "int8_static" in out:
+        i8 = out["int8_static"]
+        # Same robust-parity philosophy; int8 rounding amplifies the
+        # near-flat-cost mode flips, so the gates are the int8-vs-int8
+        # measurement's own scale, not the bf16 gates.
+        assert i8["parity_vs_int8_engine_mean_px"] < 0.05, out
+        assert i8["parity_vs_int8_engine_frac_gt_1px"] < 3e-3, out
+        assert i8["depth_finite"]
     return 0
 
 

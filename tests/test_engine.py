@@ -324,6 +324,60 @@ def test_mesh_sharded_engine_matches_single(eight_devices, rng):
     assert eng_m.metrics.dispatch_batch.summary()["max"] >= 4
 
 
+def test_mesh_device_microbatch_composes(eight_devices, rng):
+    """Blockwise serving must COMPOSE with mesh serving (VERDICT r4 #7):
+    a (data=4, tile=2) engine with device_microbatch=4 chunks the batch
+    inside the sharded program (lax.map over data-sharded chunks) and
+    matches the un-chunked mesh engine exactly; a microbatch the data
+    axis can't split fails loudly at construction, never silently."""
+    import dataclasses
+
+    import jax
+
+    from hobot_stereonet_tpu.config import MeshConfig
+
+    base = _small_config(max_batch=8, batch_buckets=(8,))
+    cfg_m = dataclasses.replace(base, mesh=MeshConfig(data=4, tile=2))
+    eng_plain = StereoEngine(cfg_m)
+
+    cfg_mb = dataclasses.replace(
+        cfg_m, engine=dataclasses.replace(cfg_m.engine, device_microbatch=4)
+    )
+    eng_mb = StereoEngine(cfg_mb, params=jax.device_get(eng_plain.params))
+
+    n = 64 * 256 * 3 // 2
+    frames = [
+        Frame(0.0, rng.integers(0, 255, n, dtype=np.uint8).astype(np.uint8),
+              64, 256, index=i)
+        for i in range(8)
+    ]
+
+    def run(eng):
+        for f in frames:
+            assert eng.feed(f) is True
+        out = {}
+        with eng:
+            eng.drain()
+            while True:
+                r = eng.poll(timeout=0.2)
+                if r is None:
+                    break
+                out[r.index] = np.asarray(r.disparity)
+        return out
+
+    out_plain, out_mb = run(eng_plain), run(eng_mb)
+    assert sorted(out_mb) == list(range(8))
+    for i in range(8):
+        np.testing.assert_allclose(out_mb[i], out_plain[i], atol=1e-5)
+
+    # m=2 does not split over data=4 -> loud construction-time error.
+    cfg_bad = dataclasses.replace(
+        cfg_m, engine=dataclasses.replace(cfg_m.engine, device_microbatch=2)
+    )
+    with pytest.raises(ValueError, match="device_microbatch"):
+        StereoEngine(cfg_bad)
+
+
 def _poison(params):
     """All-NaN copy of a parameter pytree."""
     import jax

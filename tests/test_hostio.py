@@ -6,11 +6,14 @@ import pytest
 
 from hobot_stereonet_tpu.runtime import hostio
 
-pytestmark = pytest.mark.skipif(
+# Applied per-test (not module-wide): the pure-Python fallback tests at the
+# bottom exercise the no-toolchain contract and must run everywhere.
+needs_native = pytest.mark.skipif(
     not hostio.available(), reason="native hostio unavailable"
 )
 
 
+@needs_native
 def test_ring_push_pop_order(rng):
     ring = hostio.FrameRing(frame_bytes=64, capacity=4)
     frames = [rng.integers(0, 255, 64, dtype=np.uint8) for _ in range(3)]
@@ -25,6 +28,7 @@ def test_ring_push_pop_order(rng):
     ring.close()
 
 
+@needs_native
 def test_ring_drops_when_full(rng):
     ring = hostio.FrameRing(frame_bytes=16, capacity=2)
     f = rng.integers(0, 255, 16, dtype=np.uint8)
@@ -36,6 +40,7 @@ def test_ring_drops_when_full(rng):
     ring.close()
 
 
+@needs_native
 def test_nv12_split_matches_jnp(rng):
     import jax.numpy as jnp
 
@@ -49,6 +54,7 @@ def test_nv12_split_matches_jnp(rng):
     np.testing.assert_array_equal(rn, np.asarray(rj))
 
 
+@needs_native
 def test_nv12_to_yuv444_matches_jnp(rng):
     import jax.numpy as jnp
 
@@ -61,6 +67,7 @@ def test_nv12_to_yuv444_matches_jnp(rng):
     np.testing.assert_array_equal(out_n, out_j)
 
 
+@needs_native
 def test_bgr_to_nv12_matches_jnp(rng):
     import jax.numpy as jnp
 
@@ -73,6 +80,7 @@ def test_bgr_to_nv12_matches_jnp(rng):
     assert np.abs(out_n.astype(int) - out_j.astype(int)).max() <= 1
 
 
+@needs_native
 def test_ring_threaded_stream(rng):
     """Producer/consumer threads across the ring — the capture->feed
     topology."""
@@ -106,6 +114,7 @@ def test_ring_threaded_stream(rng):
     ring.close()
 
 
+@needs_native
 def test_threaded_capture_source_preserves_frames_and_gt():
     """ThreadedCaptureSource: capture thread -> native SPSC ring -> feed
     side.  Frames arrive in order with bytes, timestamps, indices, and the
