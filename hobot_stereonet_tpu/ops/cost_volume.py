@@ -65,8 +65,36 @@ def build_correlation_volume(
 ) -> jnp.ndarray:
     """Dot-product correlation volume [B, D, H, W] (DispNetC-style).
 
-    Cheaper alternative when aggregation is 2D; used by the fast path.
+    MXU formulation (roofline.json, round 5): the original
+    shift-multiply-reduce loop materialized ~200 MB/frame of shifted
+    feature copies for only 0.02 GFLOP/frame — pure bandwidth on a chip
+    whose compute:bandwidth ridge is ~240 flops/byte.  Instead compute
+    each row's Gram matrix L_row @ R_row^T on the MXU (one dense
+    [W,W,C] contraction, ~0.15 GFLOP/frame) and gather the D diagonal
+    bands corr[x, d] = G[x, x-d].  ~40x less HBM traffic for 7x more
+    (nearly free) FLOPs; accumulation is f32 in the matmul, slightly
+    MORE accurate than the old bf16 elementwise reduce.
     """
+    w = feat_l.shape[-2]
+    c = feat_l.shape[-1]
+    g = jnp.einsum("bhxc,bhyc->bhxy", feat_l, feat_r,
+                   preferred_element_type=jnp.float32)
+    x = jnp.arange(w)[:, None]
+    d = jnp.arange(num_disparities)[None, :]
+    idx = x - d                       # match position in the right image
+    valid = idx >= 0                  # left margin: no candidate -> 0
+    corr = jnp.take_along_axis(
+        g, jnp.clip(idx, 0, w - 1)[None, None], axis=-1
+    )                                 # [B, H, W, D]
+    corr = jnp.where(valid[None, None], corr, 0.0) / jnp.sqrt(float(c))
+    return jnp.transpose(corr, (0, 3, 1, 2))
+
+
+def build_correlation_volume_ref(
+    feat_l: jnp.ndarray, feat_r: jnp.ndarray, num_disparities: int
+) -> jnp.ndarray:
+    """Reference formulation (shift + elementwise reduce) — kept as the
+    correctness oracle for the MXU path's parity test."""
     c = feat_l.shape[-1]
     slices = []
     for d in range(num_disparities):

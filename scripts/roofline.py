@@ -152,6 +152,27 @@ def main() -> int:
     for name, t in blocks:
         out["blocks_ms_per_batch"][name] = round(t, 2)
 
+    # Per-stage FLOPs/bytes: localize WHERE the bandwidth goes (each
+    # staged program compiled standalone; deltas attribute per block).
+    def stage_cost(fn):
+        try:
+            c = jax.jit(fn).lower(l0, r0).compile()
+            ca = c.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return {"gflops_per_frame": round(
+                        float(ca.get("flops", 0.0)) / B / 1e9, 2),
+                    "mb_per_frame": round(
+                        float(ca.get("bytes accessed", 0.0)) / B / 1e6, 1)}
+        except Exception as e:  # pragma: no cover
+            return {"error": str(e)}
+
+    out["stage_cost_analysis"] = {}
+    for name, fn in stages:
+        out["stage_cost_analysis"][name] = stage_cost(fn)
+        print(json.dumps({f"cost_{name}":
+                          out["stage_cost_analysis"][name]}), flush=True)
+
     # XLA cost analysis of the full compiled program.
     def fwd(params, l, r):
         return model.apply(params, l, r)["disparity"]

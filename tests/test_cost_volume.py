@@ -55,6 +55,32 @@ def test_correlation_volume_vs_numpy(rng):
             np.testing.assert_allclose(vol[0, d, :, x], ref, rtol=1e-5, atol=1e-5)
 
 
+def test_correlation_mxu_matches_shift_reduce(rng):
+    """The MXU Gram-band formulation (roofline r5 rewrite) must match the
+    shift+reduce oracle at model-like shapes, including bf16 features
+    (where the matmul's f32 accumulation may only differ by bf16
+    rounding)."""
+    from hobot_stereonet_tpu.ops.cost_volume import (
+        build_correlation_volume_ref)
+
+    b, h, w, c, D = 2, 12, 40, 32, 24
+    fl = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    fr = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    got = np.asarray(build_correlation_volume(jnp.asarray(fl),
+                                              jnp.asarray(fr), D))
+    ref = np.asarray(build_correlation_volume_ref(jnp.asarray(fl),
+                                                  jnp.asarray(fr), D))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    fl16 = jnp.asarray(fl, jnp.bfloat16)
+    fr16 = jnp.asarray(fr, jnp.bfloat16)
+    got16 = np.asarray(build_correlation_volume(fl16, fr16, D),
+                       dtype=np.float32)
+    ref16 = np.asarray(build_correlation_volume_ref(fl16, fr16, D),
+                       dtype=np.float32)
+    np.testing.assert_allclose(got16, ref16, rtol=5e-2, atol=5e-2)
+
+
 def test_soft_argmin_peaked_cost():
     """A deep minimum at index d0 recovers d0."""
     D, d0 = 16, 5

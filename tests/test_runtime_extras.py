@@ -172,6 +172,44 @@ def test_golden_dump_and_compare(tmp_path, rng):
     assert report2["disparity"]["status"] == "mismatch"
 
 
+def test_golden_compare_shape_semantics(rng):
+    """Same-size shape mismatches (ADVICE r4): when BOTH sides carry
+    authoritative multi-dim shapes, a layout bug (e.g. NCHW vs NHWC) is a
+    hard shape error; flat fallback only applies against a 1-D raw-.bin
+    side."""
+    from hobot_stereonet_tpu.runtime import golden
+
+    a = rng.standard_normal((2, 6)).astype(np.float32)
+    # Both shaped, same size, different layout -> shape error.
+    ok, rep = golden.compare({"t": a}, {"t": a.reshape(6, 2)})
+    assert not ok and rep["t"]["status"] == "shape"
+    # One side flat (raw .bin load) -> flat value compare still works.
+    ok2, rep2 = golden.compare({"t": a}, {"t": a.ravel()})
+    assert ok2 and rep2["t"].get("flat_compare") is True
+
+
+def test_threaded_capture_stops_on_early_close():
+    """Closing the feed iterator early must stop the capture thread
+    promptly — an unbounded paced source would otherwise be decoded
+    forever (ADVICE r4)."""
+    import time
+
+    from hobot_stereonet_tpu.data.stream import (SyntheticStreamSource,
+                                                 ThreadedCaptureSource)
+
+    src = ThreadedCaptureSource(
+        SyntheticStreamSource(height=32, width=64, num_frames=0, paced=True,
+                              fps=60),
+        use_native=False,
+    )
+    it = iter(src)
+    for _ in range(3):
+        next(it)
+    t0 = time.perf_counter()
+    it.close()
+    assert time.perf_counter() - t0 < 3.0
+
+
 def test_slam_map_save_load(tmp_path, rng):
     from hobot_stereonet_tpu.config import CameraConfig, SLAMConfig
     from hobot_stereonet_tpu.data.synthetic import LayeredScene
