@@ -61,7 +61,11 @@ def _preproc_kernel(y_ref, uv_ref, out_ref, *, width: int, interpret: bool):
     yl, ul, vl = eye(0)
     yr, ur, vr = eye(w)
     stacked = jnp.stack([yl, ul, vl, yr, ur, vr], axis=0)  # [6, 2TH, W]
-    out_ref[:] = (stacked - 128.0) * (1.0 / 128.0)
+    # bf16 store is EXACT here: every value is k/128 with k in [-128,127],
+    # which fits bf16's 8 significand bits — and it halves the kernel's
+    # write traffic plus the transpose/cast traffic downstream (the
+    # network computes in bf16 anyway; roofline.json: bandwidth-bound).
+    out_ref[:] = ((stacked - 128.0) * (1.0 / 128.0)).astype(jnp.bfloat16)
 
 
 @functools.partial(
@@ -74,8 +78,10 @@ def nv12_sbs_preprocess_pallas(
     row_tile: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flat side-by-side NV12 uint8 buffer -> [1, H, W, 6] float32
-    normalized model input (width = single-eye width)."""
+    """Flat side-by-side NV12 uint8 buffer -> [1, H, W, 6] bfloat16
+    normalized model input (width = single-eye width).  bf16 is exact for
+    (k - 128)/128, k in [0,255], and halves the ingest's write+transpose
+    traffic on a bandwidth-bound serving path (roofline.json)."""
     full_w = 2 * width
     y = sbs_nv12[: height * full_w].reshape(height, full_w)
     uv = sbs_nv12[height * full_w :].reshape(height // 2, full_w)
@@ -94,7 +100,7 @@ def nv12_sbs_preprocess_pallas(
 
     out = pl.pallas_call(
         functools.partial(_preproc_kernel, width=width, interpret=interpret),
-        out_shape=jax.ShapeDtypeStruct((6, height, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((6, height, width), jnp.bfloat16),
         grid=grid,
         in_specs=[y_spec, uv_spec],
         out_specs=out_spec,

@@ -37,6 +37,16 @@ def main() -> int:
                          "post-frontier fine-tune)")
     ap.add_argument("--min-fps", type=float, default=300.0)
     ap.add_argument("--dest", default="checkpoints/flagship")
+    ap.add_argument("--name", default=None,
+                    help="crown this candidate directly (bypasses the "
+                         "fps/EPE row selection; use when the decision "
+                         "evidence is paired-CI accuracy + deterministic "
+                         "cost measurements rather than same-day engine "
+                         "fps rows, which are rig-noise-bound)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="with --name: the checkpoint dir to install")
+    ap.add_argument("--why", default="",
+                    help="with --name: provenance note for FLAGSHIP.json")
     args = ap.parse_args()
 
     from hobot_stereonet_tpu.config import Config
@@ -45,6 +55,14 @@ def main() -> int:
     import frontier as frontier_mod
 
     frontier_mod._build_candidates()
+    if args.name:
+        if not args.checkpoint:
+            print("--name requires --checkpoint", file=sys.stderr)
+            return 1
+        winner = {"name": args.name, "checkpoint": args.checkpoint,
+                  "why": args.why}
+        return _install(args, frontier_mod, winner,
+                        rule=f"direct crown (--name): {args.why}")
     rows = []
     for path in args.frontier.split(","):
         with open(path) as f:
@@ -74,8 +92,26 @@ def main() -> int:
     best_epe = min(r["heldout_epe_px"] for r in eligible)
     tied = [r for r in eligible if r["heldout_epe_px"] <= best_epe + EPE_TIE_PX]
     winner = max(tied, key=lambda r: r["engine_fps"])
+    return _install(
+        args, frontier_mod, winner,
+        rule=f"min heldout_epe_px with engine_fps >= {args.min_fps}; "
+             f"fastest within a {EPE_TIE_PX} px tie band")
+
+
+def _install(args, frontier_mod, winner, rule):
+    from hobot_stereonet_tpu.config import Config
+
     mcfg = frontier_mod.CANDIDATES[winner["name"]]
     cfg = dataclasses.replace(Config(), model=mcfg)
+    if winner["name"] == "YUV_ft":
+        # YUV444-native flagship: the serving/eval input contract rides
+        # the config (datasets convert RGB->YUV, the NV12 ingest skips
+        # the RGB epilogue entirely — ~8.2 ms/batch-32 measured,
+        # yuv_report.json ingest_cost).
+        from hobot_stereonet_tpu.config import PreprocessConfig
+
+        cfg = dataclasses.replace(
+            cfg, preprocess=PreprocessConfig(color_space="yuv"))
 
     dest = args.dest
     if os.path.isdir(dest):
@@ -87,12 +123,10 @@ def main() -> int:
         json.dump({"candidate": winner,
                    "model_class": "classic" if winner["name"] == "CLASSIC"
                    else "fast",
-                   "selection_rule":
-                   f"min heldout_epe_px with engine_fps >= {args.min_fps}; "
-                   f"fastest within a {EPE_TIE_PX} px tie band"},
+                   "selection_rule": rule},
                   f, indent=2)
     print(json.dumps({"flagship": winner["name"],
-                      "heldout_epe_px": winner["heldout_epe_px"],
+                      "heldout_epe_px": winner.get("heldout_epe_px"),
                       "engine_fps": winner.get("engine_fps"),
                       "installed": dest}))
     return 0

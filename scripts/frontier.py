@@ -65,6 +65,11 @@ def _build_candidates():
             # the equal-budget comparison — provenance lives in
             # FLAGSHIP.json when crowned.
             "A_ft": StereoNetConfig(**base),
+            # YUV444-native continuation of A_ft (scripts/yuv_finetune.py):
+            # same architecture, input contract = the reference's native
+            # YUV444 (preprocess.cpp:975-1003) — crowning it flips the
+            # flagship config's preprocess.color_space to "yuv".
+            "YUV_ft": StereoNetConfig(**base),
         }
     )
 
@@ -152,7 +157,7 @@ if __name__ == "__main__":
     # A_ft is the post-frontier fine-tune alias, never part of the default
     # equal-budget sweep.
     names = (args.only.split(",") if args.only
-             else [n for n in CANDIDATES if n != "A_ft"])
+             else [n for n in CANDIDATES if n not in ("A_ft", "YUV_ft")])
     results = []
     for n in names:
         results.append(run_one(n, args.steps, args.ckpt_dir, args.batch,
