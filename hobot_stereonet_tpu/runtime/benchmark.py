@@ -39,6 +39,7 @@ def measure_engine_fps(
     static_quant=None,
     stage_timing: bool = False,
     device_microbatch: int = 0,
+    inflight: int = 4,
     ring_size: int = 4,
     height: int = 720,
     width: int = 1280,
@@ -68,7 +69,7 @@ def measure_engine_fps(
             batch_buckets=(1, batch),
             feed_queue_depth=n_frames,
             drop_on_full=False,
-            inflight=4,
+            inflight=inflight,
             fetch_results=False,  # device-side consumers; see module doc
             stage_timing=stage_timing,
             device_microbatch=device_microbatch,

@@ -37,19 +37,31 @@ def main() -> int:
 
     out = {}
     grid = [
-        ("b128_flat", 128, 0, 12),     # control: the headline regime
-        ("b256_micro128", 256, 128, 6),
-        ("b512_micro128", 512, 128, 3),
+        ("b128_flat", 128, 0, 12, 4),   # control: the headline regime
+        # inflight=2: at batch 256 the 4-deep in-flight pipeline holds
+        # 4x708 MB of input buffers alone and OOMs (first attempt
+        # recorded below); halving the depth trades overlap for fit.
+        ("b256_micro128_inflight2", 256, 128, 6, 2),
     ]
-    for name, batch, micro, n_batches in grid:
-        r = measure_engine_fps(
-            model=model, params=params, model_cfg=cfg.model, batch=batch,
-            n_batches=n_batches, device_microbatch=micro,
-            verbose_to=sys.stderr)
-        out[name] = {"fps": r["fps"], "warmup_s": r["warmup_s"],
-                     "batch": batch, "micro": micro,
-                     "frames": r["frames_out"]}
+    for name, batch, micro, n_batches, inflight in grid:
+        try:
+            r = measure_engine_fps(
+                model=model, params=params, model_cfg=cfg.model,
+                preprocess_cfg=cfg.preprocess, batch=batch,
+                n_batches=n_batches, device_microbatch=micro,
+                inflight=inflight, verbose_to=sys.stderr)
+            out[name] = {"fps": r["fps"], "warmup_s": r["warmup_s"],
+                         "batch": batch, "micro": micro,
+                         "inflight": inflight, "frames": r["frames_out"]}
+        except RuntimeError as e:
+            out[name] = {"batch": batch, "micro": micro,
+                         "inflight": inflight, "fail": str(e)}
         print(json.dumps({name: out[name]}), flush=True)
+    out["b256_micro128_inflight4"] = {
+        "batch": 256, "micro": 128, "inflight": 4,
+        "fail": "RESOURCE_EXHAUSTED: 4-deep in-flight at batch 256 "
+                "exceeds HBM (4x708 MB uint8 inputs + outputs + "
+                "chunk activations)"}
 
     with open("dispatch_amortization.json", "w") as f:
         json.dump(out, f, indent=2)

@@ -122,7 +122,9 @@ def main() -> int:
 
         for name, int8, sq in modes:
             r = measure_engine_fps(model=model, params=params,
-                                   model_cfg=cfg.model, batch=128,
+                                   model_cfg=cfg.model,
+                                   preprocess_cfg=cfg.preprocess,
+                                   batch=128,
                                    n_batches=6, int8=int8, static_quant=sq,
                                    verbose_to=sys.stderr)
             out[name]["engine_fps"] = r["fps"]
