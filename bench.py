@@ -58,6 +58,15 @@ def main(argv=None) -> None:
     calib_path = os.path.join(repo, "checkpoints", "flagship", "calib.json")
     kwargs = {}
     static_int8 = False
+    # Serve the crowned flagship's input contract (round 5: YUV444-native,
+    # no RGB epilogue in the ingest) — throughput is weight-independent,
+    # but the ingest program is part of what the bench measures.
+    flag_cfg_path = os.path.join(repo, "checkpoints", "flagship",
+                                 "config.json")
+    if os.path.isfile(flag_cfg_path):
+        from hobot_stereonet_tpu.config import Config as _Config
+
+        kwargs["preprocess_cfg"] = _Config.from_json(flag_cfg_path).preprocess
     if int8_static:
         if not os.path.isfile(calib_path):
             raise SystemExit("--int8-static needs checkpoints/flagship/"
@@ -74,8 +83,9 @@ def main(argv=None) -> None:
         params = ckpt.load_params(os.path.join(flag, "params"))
         model = FastStereoNet(cfg.model)
         sq = make_static_quant(model, params, calib_path, 720, 1280)
-        kwargs = {"model": model, "params": params, "model_cfg": cfg.model,
-                  "static_quant": sq}
+        kwargs.update({"model": model, "params": params,
+                       "model_cfg": cfg.model, "static_quant": sq,
+                       "preprocess_cfg": cfg.preprocess})
         static_int8 = True
         print("serving config: flagship + calibrated static int8",
               file=sys.stderr)

@@ -266,6 +266,12 @@ class LayeredScene:
                     lw = int(rng.integers(width // 6, width // 2))
                     y0 = int(rng.integers(pad // 2, height + pad))
                     x0 = int(rng.integers(pad // 2, width + pad))
+                    # Clip to the padded canvas: at deployment geometries
+                    # (H/2 > pad) an unclipped patch can overflow the
+                    # texture; smaller geometries never clip, so existing
+                    # scene seeds render bit-identically.
+                    lh = min(lh, tex.shape[0] - y0)
+                    lw = min(lw, tex.shape[1] - x0)
                     patch = _texture(rng, lh, lw, texture_scales)
                     patch += rng.uniform(-12, 12, patch.shape)
                     tex[y0 : y0 + lh, x0 : x0 + lw] = patch

@@ -7,6 +7,7 @@ mkdir -p benchmarks
 python bench.py --out benchmarks/bench_default.json
 python bench.py --streaming --out benchmarks/bench_streaming.json
 python bench.py --int8 --out benchmarks/bench_int8.json
+python bench.py --int8-static --out benchmarks/bench_int8_static.json
 # Stage split (reference rt_stat analog) at the streaming batch; the split
 # forces a sync per stage, so its fps is diagnostic, not headline.
 python bench.py --streaming --stage-timing --out benchmarks/bench_stage_timing.json

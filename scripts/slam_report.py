@@ -136,6 +136,9 @@ def main() -> int:
     ap.add_argument("--gate", type=float, default=0.3)
     ap.add_argument("--seeds", default="11,12,13")
     ap.add_argument("--frames-720p", type=int, default=100)
+    ap.add_argument("--runner-only", action="store_true",
+                    help="re-run only the odometry sequence-runner leg "
+                         "and merge it into an existing report")
     ap.add_argument("--out", default="slam_report.json")
     args = ap.parse_args()
 
@@ -150,6 +153,11 @@ def main() -> int:
     seeds = [int(s) for s in args.seeds.split(",")]
     rows = []
     out = {"rows": rows}
+    if args.runner_only and os.path.isfile(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+        out.pop("partial", None)
+        rows = out.setdefault("rows", [])
 
     def emit(row):
         rows.append(row)
@@ -158,6 +166,9 @@ def main() -> int:
             json.dump({**out, "partial": True}, f, indent=2)
 
     # --- RPC dispatch floor (context for the attribution).
+    if args.runner_only:
+        return _runner_leg(args, emit, out, seeds)
+
     @jax.jit
     def nop(x):
         return jnp.mean(x) + 1.0
@@ -238,26 +249,11 @@ def main() -> int:
     print(json.dumps(out["wall_clock_attribution"], indent=1), flush=True)
 
     # --- C: the sequence-runner product path from disk (KITTI layout).
-    import tempfile
-
-    from hobot_stereonet_tpu.slam.run import (open_sequence,
-                                              run_odometry_sequence)
-
-    cam_seq = CameraConfig(width=320, height=240)
-    engine_seq = _build_engine(eng_args, h=cam_seq.height, w=cam_seq.width)
-    with tempfile.TemporaryDirectory() as td:
-        n_seq = 24 if args.quick else 60
-        make_kitti_layout(td, cam_seq, n_seq, seed=seeds[0])
-        seq = open_sequence(td, "00")
-        r = run_odometry_sequence(seq, engine=engine_seq, ba_window=4)
-        r["ate_m"] = round(float(r.get("ate_m", float("nan"))), 4)
-        out["odometry_runner"] = {
-            "layout": "KITTI (generated LayeredScene renders)",
-            "resolution": f"{cam_seq.width}x{cam_seq.height}", **r}
-        emit({"config": "odometry_runner", **out["odometry_runner"]})
+    engine_seq = _runner_leg(args, emit, out, seeds, ret_engine=True)
 
     # --- 320x240 continuity rows (v1 grid: loop closure + confidence
     # gate consumers at the original regime).
+    cam_seq = CameraConfig(width=320, height=240)
     lengths = [12] if args.quick else [40]
     for frames in lengths:
         for name, src, gate, loop in (
@@ -282,6 +278,52 @@ def main() -> int:
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def _runner_leg(args, emit, out, seeds, ret_engine=False):
+    """The `slam --odometry-root` product path from disk (KITTI layout).
+
+    Keyframe spacing is configured for the trajectory scale
+    (keyframe_translation_m=0.08 over a 0.6 m sweep) exactly as the
+    direct rows do — the 0.3 m default is room-scale; leaving it there
+    gives 2-3 keyframes over the whole run and PnP against stale
+    references (first committed run measured ATE 0.64 m that way)."""
+    import json as _json
+    import tempfile
+
+    from types import SimpleNamespace
+
+    from hobot_stereonet_tpu.cli import _build_engine
+    from hobot_stereonet_tpu.config import CameraConfig, SLAMConfig
+    from hobot_stereonet_tpu.slam.run import (open_sequence,
+                                              run_odometry_sequence)
+
+    eng_args = SimpleNamespace(config=None, model="fast", checkpoint=None,
+                               int8=False)
+    cam_seq = CameraConfig(width=320, height=240)
+    engine_seq = _build_engine(eng_args, h=cam_seq.height, w=cam_seq.width)
+    # Runner-only re-run: drop the superseded runner row before emitting.
+    out["rows"][:] = [row for row in out["rows"]
+                      if row.get("config") != "odometry_runner"]
+    with tempfile.TemporaryDirectory() as td:
+        n_seq = 24 if args.quick else 60
+        make_kitti_layout(td, cam_seq, n_seq, seed=seeds[0])
+        seq = open_sequence(td, "00")
+        r = run_odometry_sequence(
+            seq, engine=engine_seq,
+            slam_cfg=SLAMConfig(keyframe_translation_m=0.08), ba_window=4)
+        r["ate_m"] = round(float(r.get("ate_m", float("nan"))), 4)
+        out["odometry_runner"] = {
+            "layout": "KITTI (generated LayeredScene renders)",
+            "resolution": f"{cam_seq.width}x{cam_seq.height}", **r}
+        emit({"config": "odometry_runner", **out["odometry_runner"]})
+    if ret_engine:
+        return engine_seq
+    out.pop("partial", None)
+    with open(args.out, "w") as f:
+        _json.dump(out, f, indent=2)
+    print(f"updated {args.out} (runner leg)", file=sys.stderr)
     return 0
 
 
