@@ -43,3 +43,30 @@ def test_pooled_rows_from_multiple_files():
     sweep = [_row("A_base", 1.02, 770.0)]
     extra = [_row("A_ft", 0.90, 760.0)]
     assert pick_flagship(sweep + extra)["name"] == "A_ft"
+
+
+def test_direct_crown_installs_yuv_contract(tmp_path):
+    """crown.py --name YUV_ft must install a flagship whose config
+    carries the YUV444-native input contract (round-5 crowning path)."""
+    import json
+    import types
+
+    import crown as crown_mod
+    import frontier as frontier_mod
+
+    frontier_mod._build_candidates()
+    src = tmp_path / "ckpt"
+    src.mkdir()
+    (src / "dummy").write_text("params")
+    dest = tmp_path / "flagship"
+    args = types.SimpleNamespace(dest=str(dest), min_fps=300.0)
+    rc = crown_mod._install(
+        args, frontier_mod,
+        {"name": "YUV_ft", "checkpoint": str(src), "why": "test"},
+        rule="direct crown (test)")
+    assert rc == 0
+    cfg = json.loads((dest / "config.json").read_text())
+    assert cfg["preprocess"]["color_space"] == "yuv"
+    flag = json.loads((dest / "FLAGSHIP.json").read_text())
+    assert flag["candidate"]["name"] == "YUV_ft"
+    assert flag["model_class"] == "fast"
