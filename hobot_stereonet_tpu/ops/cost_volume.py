@@ -77,8 +77,11 @@ def build_correlation_volume(
     """
     w = feat_l.shape[-2]
     c = feat_l.shape[-1]
+    # Accumulate f32 on the MXU, but MATERIALIZE G in the feature dtype:
+    # downstream casts the volume to the compute dtype anyway, and a bf16
+    # G halves this block's dominant buffer on a bandwidth-bound program.
     g = jnp.einsum("bhxc,bhyc->bhxy", feat_l, feat_r,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32).astype(feat_l.dtype)
     x = jnp.arange(w)[:, None]
     d = jnp.arange(num_disparities)[None, :]
     idx = x - d                       # match position in the right image

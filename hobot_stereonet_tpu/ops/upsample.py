@@ -69,9 +69,11 @@ def convex_upsample(disp: jnp.ndarray, mask_logits: jnp.ndarray, k: int) -> jnp.
     refinement plays, at ~2% of the cost on TPU.
     """
     b, h, w = disp.shape
-    m = jax.nn.softmax(
-        mask_logits.reshape(b, h, w, 9, k * k).astype(jnp.float32), axis=3
-    )
+    # Softmax in the mask's own dtype: over 9 logits bf16 is ample, and
+    # materializing the [b,h,w,9,k*k] weights in f32 doubled the
+    # upsample head's traffic (roofline.json: bandwidth-bound).  The
+    # einsum below still accumulates against f32 disparity.
+    m = jax.nn.softmax(mask_logits.reshape(b, h, w, 9, k * k), axis=3)
     dp = jnp.pad(disp, ((0, 0), (1, 1), (1, 1)))
     neighborhood = jnp.stack(
         [dp[:, i : i + h, j : j + w] for i in range(3) for j in range(3)], axis=3

@@ -60,9 +60,13 @@ def main() -> int:
                   flush=True)
 
     report["fps_note"] = (
-        "idle-host A/B in one process; yuv = yuv_ft checkpoint with "
-        "color_space='yuv' (no RGB epilogue in the ingest), rgb_control "
-        "= crowned flagship with the epilogue"
+        "one-process A/B; yuv = color_space='yuv' ingest (no RGB "
+        "epilogue), rgb_control = the same architecture served through "
+        "the RGB-epilogue ingest (throughput is weight-independent, so "
+        "the delta isolates the ingest contract; post-crowning both "
+        "rows load checkpoints/flagship params). Same-day absolute fps "
+        "is tunnel-state-bound; the deterministic epilogue price is "
+        "ingest_cost below."
     )
     with open("yuv_report.json", "w") as f:
         json.dump(report, f, indent=2)
