@@ -12,9 +12,12 @@ tower, but the polyphase form is only ~1.02x faster — XLA's TPU conv
 lowering already handles C_in=3 stride-2 as well as the polyphase
 formulation, so the cost is the intrinsic full-resolution input touch,
 not a layout miss.  Kept as a measured negative (like
-ops/pallas/correlation.py's): the next real lever on the tower is
-fewer full-res bytes (e.g. a uint8->bf16 fused first layer), not conv
-algebra.
+ops/pallas/correlation.py's).  Round-5 follow-ups closed the remaining
+hypotheses (conv_layout_ab.json, u8_input_ab.json): NCHW layout is a
+wash (1.01-1.03x — XLA's assignment already good) and the uint8-input
+fused first layer is 1.17x on conv1 standalone but only 1.009x on the
+full forward — the full-res input read is too small a byte fraction to
+move the network.
 
 Run on chip:  timeout 1500 python scripts/tower_split.py
 Writes tower_split.json.
